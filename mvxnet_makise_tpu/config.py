@@ -1,0 +1,183 @@
+"""Typed configuration for the framework.
+
+TPU-native analogue of the reference's config stack
+(/root/reference/config.yml + /root/reference/modules/config/{Config,Parser,
+__init__}.py).  Differences by design:
+
+* a frozen dataclass instead of module-level ``__getattr__`` — hashable, so a
+  ``Config`` can be closed over by ``jax.jit`` as a static argument;
+* derived quantities (``voxel_size``, ``eps``) are computed once in
+  ``__post_init__`` exactly as Config.py:7-13 derives them;
+* TPU-specific static capacities (``max_points``, ``max_voxels``,
+  ``max_boxes``) replace the reference's data-dependent shapes — everything
+  downstream jits with static shapes (SURVEY.md §7 "fixed-capacity" stance);
+* batch size is real (the reference is hard-wired to batch 1,
+  /root/reference/MVXNet.py:23);
+* ``mesh_shape`` configures the jax.sharding Mesh (no reference counterpart).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # ---- geometry of the scene (reference config.yml:6-13) ----
+    # (x_min, y_min, z_min, x_max, y_max, z_max) in LiDAR metres.
+    velo_range: Tuple[float, float, float, float, float, float] = (
+        0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+    # voxel grid extent (nx, ny, nz) — reference config.yml voxelshape.
+    voxel_shape: Tuple[int, int, int] = (352, 400, 10)
+    # anchor box size (l, w, h) — reference config.yml carsize.
+    car_size: Tuple[float, float, float] = (3.9, 1.6, 1.56)
+    # camera image size (h, w) — reference config.yml imsize.
+    image_size: Tuple[int, int] = (370, 1224)
+
+    # ---- sampling / capacity (static shapes for XLA) ----
+    # points kept per voxel — reference config.yml samplenum.
+    samples_per_voxel: int = 35
+    # static point-cloud capacity per frame (cropped KITTI frames carry
+    # ~17-20k points; augmentation adds a few hundred).
+    max_points: int = 32768
+    # static voxel capacity per frame (typical cropped frame: 5-9k voxels).
+    max_voxels: int = 12288
+    # static GT-box capacity per frame (augmentation fills to 12 cars;
+    # dense KITTI frames have up to ~25 labels).
+    max_boxes: int = 32
+
+    # ---- model ----
+    # feature channels of the per-point image feature (MVX PointFusion).
+    image_feature_dim: int = 16
+    # anchors per BEV location (yaw 0 and pi/2).
+    anchors_per_loc: int = 2
+    # per-anchor regression dim (x y z l w h r).
+    box_dim: int = 7
+
+    # ---- target assignment (reference train.py:46) ----
+    neg_iou_threshold: float = 0.45
+    pos_iou_threshold: float = 0.6
+    # half-width (in anchor cells) of the dense IoU window evaluated around
+    # each GT centre — replaces the reference's CPU spiral-with-early-exit
+    # (cpp/voxelutil.cpp:138-316) with a jit-able masked dense pass.
+    assign_window: int = 12
+
+    # ---- training ----
+    batch_size: int = 1
+    learning_rate: float = 1e-3
+    num_epochs: int = 10
+    pos_loss_weight: float = 1.5   # reference Loss.py a=1.5
+    neg_loss_weight: float = 1.0   # reference Loss.py b=1
+    # compute in bfloat16 (TPU-native analogue of the reference's fp16 AMP,
+    # train.py:123; no loss scaler is needed for bf16).
+    use_bf16: bool = False
+    seed: int = 0
+    checkpoint_dir: str = "./checkpoints"
+
+    # ---- data ----
+    data_root: str = "./data/kitti"
+    target_classes: Tuple[str, ...] = ("Car",)
+    # per-class number of GT boxes the paste augmentation fills scenes up to
+    # (reference train.py:28 hard-codes [12] for Car).
+    augment_fill_to: Tuple[int, ...] = (12,)
+    num_workers: int = 8
+
+    # ---- parallelism (no reference counterpart; SURVEY.md §5) ----
+    # mesh axis sizes (data, model); (1, 1) = single chip.
+    mesh_shape: Tuple[int, int] = (1, 1)
+
+    # ---- compat knobs ----
+    # the reference's bilinear gather swaps the interpolation weights vs the
+    # textbook formula (/root/reference/modules/imhead/Pipe.py:72-75).  We
+    # implement the textbook version by default and keep the swapped variant
+    # behind this flag for checkpoint-parity experiments (SURVEY.md §7).
+    compat_swapped_bilerp: bool = False
+
+    # ---- derived (filled in __post_init__) ----
+    voxel_size: Tuple[float, float, float] = dataclasses.field(init=False)
+    eps: float = dataclasses.field(init=False)
+    feature_map_shape: Tuple[int, int] = dataclasses.field(init=False)
+
+    def __post_init__(self):
+        vr, vs = self.velo_range, self.voxel_shape
+        object.__setattr__(
+            self, "voxel_size",
+            tuple((vr[i + 3] - vr[i]) / vs[i] for i in range(3)))
+        # reference Config.py:8-13: eps 1e-3 under fp16, 1e-6 under fp32.
+        object.__setattr__(self, "eps", 1e-3 if self.use_bf16 else 1e-6)
+        # RPN output grid: voxel grid / 2 (reference train.py:59).
+        object.__setattr__(
+            self, "feature_map_shape", (vs[0] // 2, vs[1] // 2))
+
+    # -- convenience --
+    @property
+    def num_anchors(self) -> int:
+        h, w = self.feature_map_shape
+        return h * w * self.anchors_per_loc
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_YAML_KEYS = {
+    # reference config.yml key -> Config field
+    "velorange": "velo_range",
+    "voxelshape": "voxel_shape",
+    "carsize": "car_size",
+    "imsize": "image_size",
+    "samplenum": "samples_per_voxel",
+    "batchsize": "batch_size",
+}
+
+
+def load_config(path: Optional[str] = None, **overrides) -> Config:
+    """Build a Config, optionally from a YAML file.
+
+    Accepts both this framework's field names and the reference's
+    config.yml key names (so a reference config file loads directly).
+    """
+    kw = {}
+    if path is not None and os.path.exists(path):
+        with open(path, "r") as f:
+            raw = yaml.safe_load(f) or {}
+        fields = {f.name for f in dataclasses.fields(Config) if f.init}
+        for k, v in raw.items():
+            k = _YAML_KEYS.get(k, k)
+            if k in fields:
+                kw[k] = tuple(v) if isinstance(v, list) else v
+    kw.update(overrides)
+    return Config(**kw)
+
+
+def parse_cli(argv=None) -> Tuple[Config, argparse.Namespace]:
+    """CLI mirroring the reference's optparse surface
+    (/root/reference/modules/config/Parser.py:1-12): positional dataroot,
+    -n/--numepochs, -r/--resume; plus framework extras."""
+    p = argparse.ArgumentParser(
+        description="MVXNet-Makise TPU training",
+        usage="python -m mvxnet_makise_tpu.train <dataroot> "
+              "[-n NUMEPOCHS] [-r RESUME]")
+    p.add_argument("dataroot", nargs="?", default=None)
+    p.add_argument("-n", "--numepochs", type=int, default=10)
+    p.add_argument("-r", "--resume", type=int, default=0,
+                   help="epoch number to resume from")
+    p.add_argument("--config", type=str, default=None,
+                   help="optional YAML config path")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args(argv)
+
+    overrides = {"num_epochs": args.numepochs}
+    if args.dataroot:
+        overrides["data_root"] = args.dataroot
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.bf16:
+        overrides["use_bf16"] = True
+    cfg = load_config(args.config, **overrides)
+    return cfg, args

@@ -1,0 +1,14 @@
+from mvxnet_makise_tpu.ops.voxelize import (  # noqa: F401
+    VoxelGrid,
+    voxelize,
+    crop_to_range_mask,
+    frustum_mask,
+)
+from mvxnet_makise_tpu.ops.assign import (  # noqa: F401
+    AnchorTargets,
+    create_anchors,
+    assign_anchor_targets,
+)
+from mvxnet_makise_tpu.ops.scatter import scatter_voxels_to_grid  # noqa: F401
+from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn  # noqa: F401
+from mvxnet_makise_tpu.ops.nms import rotated_nms_bev  # noqa: F401
