@@ -1,0 +1,162 @@
+"""Anchor generation and dense on-device target assignment.
+
+Reference behaviour (SURVEY.md §2 C1/C5): anchors from
+/root/reference/modules/data/Preprocessing.py:118-142 (``createAnchors``)
+and the C++ spiral anchor classifier
+/root/reference/cpp/voxelutil.cpp:138-316 with thresholds from
+/root/reference/train.py:46 (neg 0.45, pos 0.6).
+
+TPU-native re-design: the reference spirals outward from each GT's grid
+cell with an early exit at IoU < 0.1 — a CPU latency trick that is pure
+poison for a vector machine.  Here each GT evaluates a *fixed window* of
+anchor cells around its centre cell in one batched rotated-IoU pass, then
+scatter-max writes the dense positive/ignore/match maps.  For convex boxes
+the IoU profile along any ray from the centre cell is quasi-concave, so
+the window (whose radius exceeds the maximum reach of IoU >= 0.1) marks
+exactly the anchors the spiral marks.
+
+Outputs are dense masks instead of the reference's variable-length index
+tuples — static shapes, and the loss consumes masks directly.  Semantics
+notes vs the reference:
+  * ``gt_index``: the reference's last-writer-wins on overlapping GTs is
+    preserved (highest qualifying GT index wins via scatter-max).
+  * the reference can push duplicate entries for one anchor into its
+    pi/ni lists when two GTs both qualify (double-counting that anchor in
+    the loss normalisation); dense masks count each anchor once.  With
+    augmentation capping GT BEV overlap at 0.05 IoU this is vanishingly
+    rare; treated as an accepted divergence.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvxnet_makise_tpu.geometry.boxes import (
+    boxes3d_to_bev_corners,
+    quad_intersection_area,
+)
+
+
+class AnchorTargets(NamedTuple):
+    pos: jnp.ndarray       # (H, W, A) bool — IoU >= pos_thr with some GT
+    ignore: jnp.ndarray    # (H, W, A) bool — IoU >= neg_thr (superset of pos)
+    gt_index: jnp.ndarray  # (H, W, A) int32 — matched GT (-1 where not pos)
+
+
+def create_anchors(grid_hw: Sequence[int],
+                   velo_range: Sequence[float],
+                   box_size: Sequence[float],
+                   anchor_z: float = -1.0,
+                   yaws: Sequence[float] = (0.0, np.pi / 2)) -> np.ndarray:
+    """Anchor grid (H, W, A, 7) xyzlwhr.
+
+    Matches Preprocessing.py:118-142: centres at cell midpoints of an
+    (H, W) grid over the BEV range, z = -1 (box bottom), one box size,
+    yaws 0 and pi/2.
+    """
+    H, W = grid_hw
+    x0, y0, _, x1, y1, _ = velo_range
+    ls, ws = (x1 - x0) / H, (y1 - y0) / W
+    xs = x0 + ls / 2 + ls * np.arange(H, dtype=np.float32)
+    ys = y0 + ws / 2 + ws * np.arange(W, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    A = len(yaws)
+    anchors = np.zeros((H, W, A, 7), dtype=np.float32)
+    anchors[..., 0] = gx[..., None]
+    anchors[..., 1] = gy[..., None]
+    anchors[..., 2] = anchor_z
+    anchors[..., 3:6] = np.asarray(box_size, dtype=np.float32)
+    anchors[..., 6] = np.asarray(yaws, dtype=np.float32)
+    return anchors
+
+
+def assign_anchor_targets(gt_boxes: jnp.ndarray,
+                          gt_mask: jnp.ndarray,
+                          *,
+                          grid_hw: Sequence[int],
+                          velo_range: Sequence[float],
+                          box_size: Sequence[float],
+                          neg_threshold: float,
+                          pos_threshold: float,
+                          window: int = 12,
+                          anchor_z: float = -1.0,
+                          yaws: Sequence[float] = (0.0, np.pi / 2),
+                          ) -> AnchorTargets:
+    """Dense windowed anchor<->GT assignment, fully jit-able.
+
+    Args:
+      gt_boxes: (G, 7) xyzlwhr, padded.
+      gt_mask: (G,) bool validity of each row.
+      window: half-width in cells of the IoU window around each GT centre
+        cell; must exceed the IoU>0 reach (12 cells * 0.4 m = 4.8 m >
+        3.9 m max box extent for KITTI cars).
+    """
+    H, W = grid_hw
+    A = len(yaws)
+    G = gt_boxes.shape[0]
+    x0, y0 = velo_range[0], velo_range[1]
+    ls = (velo_range[3] - x0) / H
+    ws = (velo_range[4] - y0) / W
+    K = 2 * window + 1
+    dtype = gt_boxes.dtype
+
+    # GT centre cell — same rounding as Calc.py:91-94 / train.py:46.
+    nl = jnp.floor((gt_boxes[:, 0] - x0 - ls / 2) / ls + 0.5).astype(jnp.int32)
+    nw = jnp.floor((gt_boxes[:, 1] - y0 - ws / 2) / ws + 0.5).astype(jnp.int32)
+
+    offs = jnp.arange(-window, window + 1, dtype=jnp.int32)
+    ci = nl[:, None, None] + offs[None, :, None]            # (G, K, 1)
+    cj = nw[:, None, None] + offs[None, None, :]            # (G, 1, K)
+    ci = jnp.broadcast_to(ci, (G, K, K))
+    cj = jnp.broadcast_to(cj, (G, K, K))
+    in_grid = (ci >= 0) & (ci < H) & (cj >= 0) & (cj < W)
+
+    ax = x0 + ls / 2 + ci.astype(dtype) * ls                # (G, K, K)
+    ay = y0 + ws / 2 + cj.astype(dtype) * ws
+    yaw_arr = jnp.asarray(yaws, dtype=dtype)
+    size = jnp.asarray(box_size, dtype=dtype)
+
+    # window anchor boxes (G, K, K, A, 7)
+    anchor_boxes = jnp.concatenate([
+        jnp.broadcast_to(ax[..., None, None], (G, K, K, A, 1)),
+        jnp.broadcast_to(ay[..., None, None], (G, K, K, A, 1)),
+        jnp.full((G, K, K, A, 1), anchor_z, dtype),
+        jnp.broadcast_to(size, (G, K, K, A, 3)),
+        jnp.broadcast_to(yaw_arr[:, None], (G, K, K, A, 1)),
+    ], axis=-1)
+
+    gt_quads = boxes3d_to_bev_corners(gt_boxes)             # (G, 4, 2)
+    anchor_quads = boxes3d_to_bev_corners(anchor_boxes)     # (G,K,K,A,4,2)
+    inter = quad_intersection_area(
+        gt_quads[:, None, None, None], anchor_quads)        # (G, K, K, A)
+
+    gt_area = gt_boxes[:, 3] * gt_boxes[:, 4]
+    anchor_area = float(box_size[0]) * float(box_size[1])
+    union = gt_area[:, None, None, None] + anchor_area - inter
+    iou = inter / jnp.maximum(union, 1e-12)
+
+    valid = in_grid[..., None] & gt_mask[:, None, None, None]
+    q_pos = valid & (iou >= pos_threshold)
+    q_ign = valid & (iou >= neg_threshold)
+
+    flat_idx = (ci[..., None] * W + cj[..., None]) * A + jnp.arange(A)
+    dump = H * W * A
+    safe_idx = jnp.where(in_grid[..., None], flat_idx, dump)
+
+    def scatter_max(values, init):
+        buf = jnp.full((H * W * A + 1,), init, values.dtype)
+        buf = buf.at[safe_idx].max(values, mode="drop")
+        return buf[:-1].reshape(H, W, A)
+
+    pos = scatter_max(q_pos.astype(jnp.int32), 0) > 0
+    ignore = scatter_max(q_ign.astype(jnp.int32), 0) > 0
+    # highest qualifying GT index wins == the reference's ascending
+    # overwrite (last writer wins)
+    gids = jnp.where(
+        q_pos, jnp.arange(G, dtype=jnp.int32)[:, None, None, None], -1)
+    gt_index = scatter_max(gids, -1)
+    return AnchorTargets(pos=pos, ignore=ignore, gt_index=gt_index)
