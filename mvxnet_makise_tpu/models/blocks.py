@@ -1,0 +1,121 @@
+"""NN layer library (Flax) — the TPU-native counterpart of
+/root/reference/modules/layers/Blocks.py (SURVEY.md §2 C8).
+
+The reference's blocks are Linear/Conv -> ReLU -> BatchNorm with
+``affine=False, track_running_stats=False`` (Blocks.py:10,25,36,47 +
+config.yml:19-20): i.e. *stateless per-batch standardization* with no
+learned parameters and no running stats, applied identically at train and
+eval.  We implement exactly that as a pure function — no Flax BatchNorm,
+no mutable state, nothing to carry through checkpoints.
+
+One genuinely new requirement: the reference normalizes over its
+variable-length voxel list; our voxel axis is padded to static capacity,
+so statistics must be computed under the validity mask or dead slots
+would pollute them.  ``masked_standardize`` handles that; dense BEV/image
+maps use the plain version (the reference also includes every dense cell).
+
+All data is channels-last (TPU-native conv layout).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def standardize(x: jnp.ndarray, eps: float = 1e-6,
+                axes: Union[int, Sequence[int], None] = None) -> jnp.ndarray:
+    """Zero-mean unit-variance per channel (last axis kept), no params.
+
+    Equivalent to torch BatchNorm(affine=False, track_running_stats=False)
+    in both train and eval mode.  Variance is the biased (population)
+    estimate, like torch BN.
+    """
+    if axes is None:
+        axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    return (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+
+
+def masked_standardize(x: jnp.ndarray, mask: jnp.ndarray,
+                       eps: float = 1e-6) -> jnp.ndarray:
+    """Per-channel standardization where statistics only see entries with
+    ``mask`` true.  x: (..., C); mask broadcastable to x's leading dims.
+
+    Masked-out entries are normalized with the same statistics (then
+    typically re-masked by the caller); they contribute nothing to them.
+    """
+    m = mask[..., None].astype(x.dtype)
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    # reduce over all leading axes, keep channels
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.sum(x * m, axis=axes, keepdims=True) / denom
+    var = jnp.sum(jnp.square(x - mean) * m, axis=axes, keepdims=True) / denom
+    return (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+
+
+class DenseReluNorm(nn.Module):
+    """Linear -> ReLU -> (masked) standardize.
+
+    Counterpart of the reference ``FCN`` (Blocks.py:5-18) — note the
+    reference applies BN *after* ReLU; preserved here.
+    """
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x = nn.Dense(self.features, name="fc")(x)
+        x = nn.relu(x)
+        if mask is not None:
+            return masked_standardize(x, mask, self.eps)
+        return standardize(x, self.eps)
+
+
+class ConvReluNorm(nn.Module):
+    """Conv(2D/3D by kernel rank) -> ReLU -> standardize.
+
+    Counterpart of CRB2d/CRB3d (Blocks.py:20-40).  2D convolutions use
+    xavier-uniform init with zero bias, matching the reference's
+    backbone-wide init (MVXNet.py:8-11).
+    """
+    features: int
+    kernel: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Union[str, Tuple[Tuple[int, int], ...]]
+    eps: float = 1e-6
+    xavier: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        init = (nn.initializers.xavier_uniform() if self.xavier
+                else nn.initializers.lecun_normal())
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding=self.padding, kernel_init=init,
+                    name="conv")(x)
+        x = nn.relu(x)
+        return standardize(x, self.eps)
+
+
+class DeconvReluNorm(nn.Module):
+    """ConvTranspose -> ReLU -> standardize (counterpart of DeCRB2d,
+    Blocks.py:42-51)."""
+    features: int
+    kernel: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Union[str, Tuple[Tuple[int, int], ...]]
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.ConvTranspose(
+            self.features, self.kernel, strides=self.strides,
+            padding=self.padding,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="deconv")(x)
+        x = nn.relu(x)
+        return standardize(x, self.eps)

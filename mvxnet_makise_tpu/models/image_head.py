@@ -1,0 +1,119 @@
+"""Image branch: detection transform, per-point feature gather, fusion MLP.
+
+Reference: /root/reference/modules/imhead/{Pipe.py, Head.py}
+(SURVEY.md §2 C10).  The pipeline is:
+
+  image --transform--> padded tensor --ResNet50FPN--> 3 pyramid levels
+        --bilinear gather at point projections--> (V, T, 768)
+        --fusion MLP--> (V, T, 16) per-point image features
+
+TPU-native details:
+  * the transform (torchvision GeneralizedRCNNTransform semantics:
+    ImageNet normalize, resize so min side <= 800 / max side <= 1333,
+    pad to a multiple of 32 — Pipe.py:18) is *static* for the fixed KITTI
+    crop size, so the whole branch compiles once;
+  * the reference's ImageFeatureFusion interleaves "FCN" layers and 1x1
+    convs (Pipe.py:84-105) — a 1x1 conv over the (V, T) plane *is* a
+    pointwise Dense, and both block types are linear->ReLU->stateless-BN,
+    so the fusion here is five DenseReluNorm layers of widths
+    768, 128, 128, 16, 16 with identical math;
+  * gather weights: textbook bilinear by default,
+    ``swapped_weights=True`` reproduces the reference's swapped variant
+    (Pipe.py:72-75) for parity runs;
+  * faithful quirk: empty sample slots enter the fusion MLP as zero
+    vectors and exit with the (nonzero) bias/norm response, exactly as in
+    the reference (featureMaping zeroes before fusion, not after —
+    Pipe.py:53-59 then Head.py:20); downstream SVFE sees the same values.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from mvxnet_makise_tpu.models.blocks import DenseReluNorm
+from mvxnet_makise_tpu.models.resnet_fpn import ResNet50FPN
+from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn
+
+# torchvision GeneralizedRCNNTransform defaults
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+_MIN_SIZE = 800.0
+_MAX_SIZE = 1333.0
+_PAD_STRIDE = 32
+
+
+def transform_output_shape(image_size: Sequence[int]) -> Tuple[int, int]:
+    """Static (resized, padded) shape for a given input (h, w)."""
+    h, w = image_size
+    scale = min(_MIN_SIZE / min(h, w), _MAX_SIZE / max(h, w))
+    rh, rw = int(h * scale), int(w * scale)
+    ph = int(math.ceil(rh / _PAD_STRIDE) * _PAD_STRIDE)
+    pw = int(math.ceil(rw / _PAD_STRIDE) * _PAD_STRIDE)
+    return (rh, rw), (ph, pw)
+
+
+def detection_transform(image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) float image in [0, 1] -> normalized, resized, padded
+    (Hp, Wp, 3) tensor, matching the torchvision transform the reference
+    reuses (Pipe.py:18): normalize first, bilinear resize, zero-pad
+    bottom/right to a multiple of 32."""
+    import jax
+
+    h, w = image.shape[:2]
+    (rh, rw), (ph, pw) = transform_output_shape((h, w))
+    x = (image - _IMAGENET_MEAN) / _IMAGENET_STD
+    x = jax.image.resize(x, (rh, rw, 3), method="bilinear")
+    return jnp.pad(x, ((0, ph - rh), (0, pw - rw), (0, 0)))
+
+
+class ImageFeatureFusion(nn.Module):
+    """768 -> 16 pointwise fusion MLP (reference Pipe.py:84-105)."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        # x: (..., V, T, 768); mask: (..., V) voxel validity for norm stats
+        T = x.shape[-2]
+        m = mask[..., None] & jnp.ones((T,), bool)
+        x = DenseReluNorm(768, self.eps, name="fcn1")(x, m)
+        x = DenseReluNorm(128, self.eps, name="conv1")(x, m)
+        x = DenseReluNorm(128, self.eps, name="fcn2")(x, m)
+        x = DenseReluNorm(16, self.eps, name="conv2")(x, m)
+        x = DenseReluNorm(16, self.eps, name="fcn3")(x, m)
+        return x
+
+
+class ImageHead(nn.Module):
+    """Frozen FPN extractor + per-point gather + trainable fusion
+    (reference Head.py:4-21)."""
+    image_size: Tuple[int, int] = (370, 1224)
+    eps: float = 1e-6
+    swapped_bilerp: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, points_rc: jnp.ndarray,
+                 point_valid: jnp.ndarray,
+                 voxel_mask: jnp.ndarray) -> jnp.ndarray:
+        """images: (B, H, W, 3) in [0, 1]; points_rc: (B, V, T, 2) image
+        (row, col) per sample point; point_valid: (B, V, T) bool;
+        voxel_mask: (B, V).  Returns (B, V, T, 16)."""
+        import jax
+
+        x = jax.vmap(detection_transform)(images)
+        pyramid = ResNet50FPN(name="extractor")(x)
+        # region sizes are measured on the *padded* feature maps while
+        # projections live in original-image pixels — the reference does
+        # the same (Pipe.py:41-45), so keep its convention.
+        gathered = jax.vmap(
+            lambda feats, rc, ok: bilinear_gather_fpn(
+                feats, rc, ok, self.image_size, eps=self.eps,
+                swapped_weights=self.swapped_bilerp)
+        )(pyramid, points_rc, point_valid)
+        # (B, V, T, 768)
+        return ImageFeatureFusion(self.eps, name="fusion")(
+            gathered, voxel_mask)

@@ -1,0 +1,53 @@
+"""MVXNet — point-level LiDAR + camera fusion (MVX-Net "PointFusion").
+
+Reference: /root/reference/MVXNet.py (SURVEY.md §2 C11): run the image
+head to get a 16-dim per-point image feature, concatenate with the 7
+LiDAR channels, feed the VoxelNet branch.
+
+TPU-native: batch is a real axis, every shape static; voxel channel
+layout is the voxelizer's ``[x, y, z, dx, dy, dz, refl, row, col]`` —
+channels 0..6 are the LiDAR features (the reference's ``voxels[..., :7]``,
+MVXNet.py:26), channels 7..8 the image projection consumed by the gather.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mvxnet_makise_tpu.models.image_head import ImageHead
+from mvxnet_makise_tpu.models.voxelnet import VoxelNetBranch
+
+
+class MVXNet(nn.Module):
+    grid_shape: Sequence[int] = (352, 400, 10)
+    image_size: Tuple[int, int] = (370, 1224)
+    anchors_per_loc: int = 2
+    box_dim: int = 7
+    eps: float = 1e-6
+    swapped_bilerp: bool = False
+
+    @nn.compact
+    def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
+                 mask: jnp.ndarray,
+                 images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """voxels: (B, V, T, 9); coords: (B, V, 3); mask: (B, V);
+        images: (B, H, W, 3) in [0, 1].
+
+        Returns (score (B, H/2, W/2, A), reg (B, H/2, W/2, A*7)).
+        """
+        points_rc = voxels[..., 7:9]
+        # a sample slot is real iff any LiDAR coordinate is nonzero —
+        # the reference's zero-point test (imhead/Pipe.py:53-59)
+        point_valid = jnp.any(voxels[..., 0:3] != 0, axis=-1)
+
+        imfeat = ImageHead(
+            self.image_size, self.eps, self.swapped_bilerp,
+            name="head")(images, points_rc, point_valid, mask)
+
+        fused = jnp.concatenate([voxels[..., :7], imfeat], axis=-1)
+        return VoxelNetBranch(
+            self.grid_shape, self.anchors_per_loc, self.box_dim, self.eps,
+            name="backbone")(fused, coords, mask)

@@ -1,0 +1,197 @@
+"""ResNet50 + FPN image backbone in Flax, with torchvision weight import.
+
+Counterpart of the reference's frozen torchvision
+``fasterrcnn_resnet50_fpn_v2`` backbone (/root/reference/modules/imhead/
+Pipe.py:8-21, SURVEY.md §2 C10).  The reference downloads pretrained
+weights at import time; this environment has no network egress, so
+:func:`load_torchvision_fpn_weights` converts a torch ``state_dict``
+(from a local file) into this module's parameter pytree.  Without a
+weight file the backbone initializes randomly (the branch is frozen
+either way — reference Head.py:9-11 — so training code treats its params
+as constants).
+
+TPU-native details:
+  * channels-last everywhere; 7x7/2 stem + 3,4,6,3 bottleneck stages;
+  * batch norms are *folded* to per-channel scale/bias at import time
+    (the branch runs frozen in eval mode, so BN is an affine transform;
+    folding removes 53 rsqrt ops from the graph and keeps the params
+    pytree small);
+  * FPN follows the v2 layout: conv+norm (no activation) in both the
+    lateral (1x1) and output (3x3) blocks, nearest-neighbour top-down
+    upsampling;
+  * returns pyramid levels '0', '1', '2' (strides 4/8/16, 256 ch) — the
+    three levels the reference consumes (Pipe.py:20).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class FoldedNorm(nn.Module):
+    """Frozen batch norm folded to y = x * scale + bias (per channel)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return x * scale + bias
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + skip."""
+    features: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        identity = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = FoldedNorm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    name="conv2")(y)
+        y = FoldedNorm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    name="conv3")(y)
+        y = FoldedNorm(name="bn3")(y)
+        if self.downsample:
+            identity = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               name="down_conv")(x)
+            identity = FoldedNorm(name="down_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet50FPN(nn.Module):
+    """ResNet50 trunk + FPN pyramid (levels 0..2, 256 channels)."""
+    fpn_channels: int = 256
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    num_levels: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        # stem
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(x)
+        x = FoldedNorm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        features = 64
+        for li, blocks in enumerate(self.stage_sizes):
+            stride = 1 if li == 0 else 2
+            for bi in range(blocks):
+                x = Bottleneck(
+                    features, stride=stride if bi == 0 else 1,
+                    downsample=(bi == 0),
+                    name=f"layer{li + 1}_{bi}")(x)
+            feats.append(x)
+            features *= 2
+
+        # FPN (v2: conv + norm, no activation)
+        laterals = []
+        for li, f in enumerate(feats):
+            y = nn.Conv(self.fpn_channels, (1, 1), use_bias=False,
+                        name=f"fpn_inner{li}")(f)
+            y = FoldedNorm(name=f"fpn_inner_bn{li}")(y)
+            laterals.append(y)
+
+        # top-down pathway with nearest-neighbour upsampling
+        merged = [None] * len(laterals)
+        merged[-1] = laterals[-1]
+        for li in range(len(laterals) - 2, -1, -1):
+            up = merged[li + 1]
+            h, w = laterals[li].shape[-3:-1]
+            up = jnp.repeat(jnp.repeat(up, 2, axis=-3), 2, axis=-2)
+            up = up[..., :h, :w, :]
+            merged[li] = laterals[li] + up
+
+        outs = []
+        for li in range(self.num_levels):
+            y = nn.Conv(self.fpn_channels, (3, 3),
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        name=f"fpn_layer{li}")(merged[li])
+            y = FoldedNorm(name=f"fpn_layer_bn{li}")(y)
+            outs.append(y)
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# torchvision weight import
+# ---------------------------------------------------------------------------
+
+def _fold_bn(sd: Dict[str, Any], prefix: str, eps: float = 1e-5):
+    """torch BN params -> (scale, bias) of the folded affine."""
+    w = np.asarray(sd[prefix + ".weight"], dtype=np.float32)
+    b = np.asarray(sd[prefix + ".bias"], dtype=np.float32)
+    mean = np.asarray(sd[prefix + ".running_mean"], dtype=np.float32)
+    var = np.asarray(sd[prefix + ".running_var"], dtype=np.float32)
+    scale = w / np.sqrt(var + eps)
+    return {"scale": scale, "bias": b - mean * scale}
+
+
+def _conv(sd: Dict[str, Any], key: str, with_bias: bool = False):
+    """torch OIHW conv kernel -> flax HWIO."""
+    k = np.asarray(sd[key + ".weight"], dtype=np.float32)
+    out = {"kernel": np.transpose(k, (2, 3, 1, 0))}
+    if with_bias:
+        out["bias"] = np.asarray(sd[key + ".bias"], dtype=np.float32)
+    return out
+
+
+def load_torchvision_fpn_weights(state_dict: Dict[str, Any],
+                                 stage_sizes: Sequence[int] = (3, 4, 6, 3),
+                                 num_levels: int = 3) -> Dict[str, Any]:
+    """Convert a torchvision FasterRCNN(-v2) ``state_dict`` (or just its
+    ``backbone.*`` subset) into a :class:`ResNet50FPN` params pytree.
+
+    Accepts keys with or without the ``backbone.`` prefix.  torch tensors
+    or numpy arrays both work (anything ``np.asarray`` accepts).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("backbone.")
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        sd[k] = v
+
+    p: Dict[str, Any] = {}
+    p["conv1"] = _conv(sd, "body.conv1")
+    p["bn1"] = _fold_bn(sd, "body.bn1")
+
+    features = 64
+    for li, blocks in enumerate(stage_sizes):
+        for bi in range(blocks):
+            t = f"body.layer{li + 1}.{bi}"
+            blk = {
+                "conv1": _conv(sd, t + ".conv1"),
+                "bn1": _fold_bn(sd, t + ".bn1"),
+                "conv2": _conv(sd, t + ".conv2"),
+                "bn2": _fold_bn(sd, t + ".bn2"),
+                "conv3": _conv(sd, t + ".conv3"),
+                "bn3": _fold_bn(sd, t + ".bn3"),
+            }
+            if bi == 0:
+                blk["down_conv"] = _conv(sd, t + ".downsample.0")
+                blk["down_bn"] = _fold_bn(sd, t + ".downsample.1")
+            p[f"layer{li + 1}_{bi}"] = blk
+        features *= 2
+
+    for li in range(len(stage_sizes)):
+        # v2 FPN blocks are Conv2dNormActivation: .0 = conv, .1 = norm
+        p[f"fpn_inner{li}"] = _conv(sd, f"fpn.inner_blocks.{li}.0")
+        p[f"fpn_inner_bn{li}"] = _fold_bn(sd, f"fpn.inner_blocks.{li}.1")
+        if li < num_levels:
+            p[f"fpn_layer{li}"] = _conv(sd, f"fpn.layer_blocks.{li}.0")
+            p[f"fpn_layer_bn{li}"] = _fold_bn(sd, f"fpn.layer_blocks.{li}.1")
+    return {"params": p}

@@ -1,0 +1,160 @@
+"""VoxelNet LiDAR branch in Flax — SVFE point encoder, dense middle 3D
+convs, and the RPN detection head.
+
+Reference: /root/reference/modules/voxelnet/{VoxelNet.py, Pipe.py}
+(SURVEY.md §2 C9).  Architecture is reproduced faithfully (channel
+widths, strides, the stateless-BN blocks); the *implementation* is
+TPU-native:
+
+  * all tensors channels-last; the sparse->dense handoff uses
+    :func:`mvxnet_makise_tpu.ops.scatter.scatter_voxels_to_grid`;
+  * the voxel axis is static (``max_voxels``) with a validity mask —
+    masked statistics in the point-encoder norms keep parity with the
+    reference's variable-length lists;
+  * batch is a real leading axis (the reference is locked to batch 1,
+    MVXNet.py:23); per-sample scatter is vmapped.
+
+Shape walk (per sample, defaults):
+  (V, T, C_in) --SVFE--> (V, T, 128) --Dense+max_T--> (V, 128)
+  --scatter--> (10, 352, 400, 128) --CML--> (2, 352, 400, 64)
+  --fold D into C--> (352, 400, 128) --RPN--> score (176, 200, 2),
+  reg (176, 200, 14)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mvxnet_makise_tpu.models.blocks import (
+    ConvReluNorm,
+    DeconvReluNorm,
+    DenseReluNorm,
+)
+from mvxnet_makise_tpu.ops.scatter import scatter_voxels_to_grid
+
+
+class VFE(nn.Module):
+    """Voxel feature encoder: pointwise Dense-ReLU-norm, then per-voxel
+    max broadcast + concat (reference Pipe.py:5-18)."""
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        # x: (..., V, T, C); mask: (..., V) voxel validity
+        T = x.shape[-2]
+        x = DenseReluNorm(self.features, self.eps, name="fcn")(
+            x, mask[..., None] & jnp.ones((T,), bool))
+        agg = jnp.max(x, axis=-2, keepdims=True)
+        agg = jnp.broadcast_to(agg, x.shape)
+        return jnp.concatenate([x, agg], axis=-1)
+
+
+class SVFE(nn.Module):
+    """Stacked VFE: C_in -> 16(+16) -> 64(+64) = 128 (Pipe.py:20-29)."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        x = VFE(16, self.eps, name="vfe1")(x, mask)
+        x = VFE(64, self.eps, name="vfe2")(x, mask)
+        return x
+
+
+class MiddleConvLayers(nn.Module):
+    """Dense 3D conv stack compressing depth 10 -> 2
+    (reference CML, Pipe.py:31-43)."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (..., D, H, W, C) = (..., 10, 352, 400, 128)
+        p1 = ((1, 1), (1, 1), (1, 1))
+        x = ConvReluNorm(64, (3, 3, 3), (2, 1, 1), p1, self.eps,
+                         xavier=False, name="conv1")(x)          # D 10->5
+        x = ConvReluNorm(64, (3, 3, 3), (1, 1, 1),
+                         ((0, 0), (1, 1), (1, 1)), self.eps,
+                         xavier=False, name="conv2")(x)          # D 5->3
+        x = ConvReluNorm(64, (3, 3, 3), (2, 1, 1), p1, self.eps,
+                         xavier=False, name="conv3")(x)          # D 3->2
+        return x
+
+
+class RPN(nn.Module):
+    """Region proposal network: 3 stride-2 conv stages, 3 deconvs back to
+    full resolution, concat 768ch, 1x1 cls/reg heads (Pipe.py:45-75)."""
+    anchors_per_loc: int = 2
+    box_dim: int = 7
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        p = ((1, 1), (1, 1))
+
+        def block(x, ch, n_extra, name):
+            x = ConvReluNorm(ch, (3, 3), (2, 2), p, self.eps,
+                             name=f"{name}_down")(x)
+            for i in range(n_extra):
+                x = ConvReluNorm(ch, (3, 3), (1, 1), p, self.eps,
+                                 name=f"{name}_conv{i}")(x)
+            return x
+
+        x1 = block(x, 128, 3, "blk1")     # (176, 200, 128)
+        x2 = block(x1, 128, 5, "blk2")    # (88, 100, 128)
+        x3 = block(x2, 256, 5, "blk3")    # (44, 50, 256)
+
+        d1 = DeconvReluNorm(256, (3, 3), (1, 1), "SAME", self.eps,
+                            name="deconv1")(x1)
+        d2 = DeconvReluNorm(256, (2, 2), (2, 2), "VALID", self.eps,
+                            name="deconv2")(x2)
+        d3 = DeconvReluNorm(256, (4, 4), (4, 4), "VALID", self.eps,
+                            name="deconv3")(x3)
+        feat = jnp.concatenate([d1, d2, d3], axis=-1)   # (176, 200, 768)
+
+        init = nn.initializers.xavier_uniform()
+        score = nn.Conv(self.anchors_per_loc, (1, 1), kernel_init=init,
+                        name="cls")(feat)
+        reg = nn.Conv(self.anchors_per_loc * self.box_dim, (1, 1),
+                      kernel_init=init, name="reg")(feat)
+        return jax.nn.sigmoid(score), reg
+
+
+class VoxelNetBranch(nn.Module):
+    """Full LiDAR branch (reference VoxelNet.py:7-39).
+
+    Input voxel features may be the 7 LiDAR channels (VoxelNet-only
+    config) or 7 + 16 fused image channels (full MVXNet).
+    """
+    grid_shape: Sequence[int] = (352, 400, 10)   # (nx, ny, nz)
+    anchors_per_loc: int = 2
+    box_dim: int = 7
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
+                 mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """voxels: (B, V, T, C); coords: (B, V, 3) int; mask: (B, V).
+
+        Returns (score (B, H/2, W/2, A) sigmoid-activated,
+                 reg (B, H/2, W/2, A*7)).
+        """
+        x = SVFE(self.eps, name="svfe")(voxels, mask)           # (B,V,T,128)
+        x = DenseReluNorm(128, self.eps, name="fcn")(
+            x, mask[..., None] & jnp.ones((x.shape[-2],), bool))
+        x = jnp.max(x, axis=-2)                                 # (B, V, 128)
+        x = jnp.where(mask[..., None], x, 0.0)
+
+        dense = jax.vmap(
+            lambda f, c, m: scatter_voxels_to_grid(
+                f, c, m, self.grid_shape))(x, coords, mask)
+        # (B, D, H, W, 128)
+        x = MiddleConvLayers(self.eps, name="cml")(dense)       # (B,2,H,W,64)
+        B, D, H, W, C = x.shape
+        # fold depth into channels (reference VoxelNet.py:36 reshape)
+        x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, H, W, D * C)
+        return RPN(self.anchors_per_loc, self.box_dim, self.eps,
+                   name="rpn")(x)
