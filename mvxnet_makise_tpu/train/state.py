@@ -1,0 +1,68 @@
+"""Train state: parameter partitioning (frozen image extractor vs
+trainable rest), AdamW, and optional bf16 compute policy.
+
+Reference: train.py:64 builds AdamW(lr=1e-3, eps=cfg.eps) over
+``filter(lambda p: p.requires_grad, ...)`` — the frozen Faster R-CNN
+extractor (Head.py:9-11) is excluded.  Here the same split is expressed
+functionally: an optax ``multi_transform`` routes extractor parameters to
+``set_to_zero`` so they never move, while everything else gets AdamW.
+
+bf16 is the TPU-native analogue of the reference's fp16 AMP
+(train.py:123,156-159): parameters stay f32, compute casts to bf16; no
+loss scaler is needed (bf16 has f32's exponent range).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from mvxnet_makise_tpu.config import Config
+
+
+def is_frozen_path(path) -> bool:
+    """True for parameters of the frozen image feature extractor."""
+    return any(getattr(k, "key", None) == "extractor" for k in path)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: "frozen" if is_frozen_path(p) else "train", params)
+
+    return optax.multi_transform(
+        {"train": optax.adamw(cfg.learning_rate, eps=cfg.eps),
+         "frozen": optax.set_to_zero()},
+        label_fn)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), apply_fn=apply_fn, tx=tx)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def cast_for_compute(tree, use_bf16: bool):
+    """Cast float leaves to bf16 for the forward/backward pass."""
+    if not use_bf16:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)

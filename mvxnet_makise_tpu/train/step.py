@@ -1,0 +1,96 @@
+"""Jit-compiled train / eval steps over batched frames.
+
+The reference iterates samples one at a time with host-side target
+assignment (train.py:110-164, cputask train.py:26-49).  Here the whole
+step — anchor assignment, forward, loss, backward, AdamW update — is one
+XLA program over a real batch axis; assignment runs *on device* (it is a
+few thousand rotated-IoU clips, nothing for a TPU).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mvxnet_makise_tpu.config import Config
+from mvxnet_makise_tpu.ops.assign import assign_anchor_targets
+from mvxnet_makise_tpu.train.loss import voxel_loss
+from mvxnet_makise_tpu.train.state import TrainState, cast_for_compute
+
+
+class Batch(NamedTuple):
+    """One device batch of preprocessed frames (all static shapes)."""
+    voxels: jnp.ndarray    # (B, V, T, 9)
+    coords: jnp.ndarray    # (B, V, 3) int32
+    vmask: jnp.ndarray     # (B, V) bool
+    images: jnp.ndarray    # (B, H, W, 3) float [0,1]; empty for lidar-only
+    gt_boxes: jnp.ndarray  # (B, G, 7)
+    gt_mask: jnp.ndarray   # (B, G) bool
+
+
+def _assign_batch(batch: Batch, cfg: Config):
+    return jax.vmap(lambda b, m: assign_anchor_targets(
+        b, m, grid_hw=cfg.feature_map_shape, velo_range=cfg.velo_range,
+        box_size=cfg.car_size, neg_threshold=cfg.neg_iou_threshold,
+        pos_threshold=cfg.pos_iou_threshold, window=cfg.assign_window,
+    ))(batch.gt_boxes, batch.gt_mask)
+
+
+def _model_inputs(batch: Batch, with_images: bool):
+    if with_images:
+        return (batch.voxels, batch.coords, batch.vmask, batch.images)
+    # LiDAR-only config: the branch consumes the 7 LiDAR channels
+    # (reference SVFE cin=7 without the 16 image channels, SURVEY.md §7 M3)
+    return (batch.voxels[..., :7], batch.coords, batch.vmask)
+
+
+def compute_loss(params, batch: Batch, targets, anchors, apply_fn,
+                 cfg: Config, with_images: bool):
+    cparams = cast_for_compute(params, cfg.use_bf16)
+    cbatch = cast_for_compute(batch, cfg.use_bf16)
+    score, reg = apply_fn(cparams, *_model_inputs(cbatch, with_images))
+    score = score.astype(jnp.float32)
+    reg = reg.astype(jnp.float32)
+
+    def per_frame(s, r, t, g):
+        return voxel_loss(s, r, t, g, jnp.asarray(anchors),
+                          pos_weight=cfg.pos_loss_weight,
+                          neg_weight=cfg.neg_loss_weight, eps=cfg.eps)
+
+    losses, metrics = jax.vmap(per_frame)(
+        score, reg, targets, batch.gt_boxes)
+    return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+
+
+def make_train_step(cfg: Config, anchors, with_images: bool = True):
+    """Build the jittable train step.  ``anchors``: (H, W, A, 7)."""
+
+    def train_step(state: TrainState, batch: Batch
+                   ) -> Tuple[TrainState, dict]:
+        targets = _assign_batch(batch, cfg)
+
+        def loss_fn(params):
+            return compute_loss(params, batch, targets, anchors,
+                                state.apply_fn, cfg, with_images)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = dict(metrics, total_loss=loss)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, with_images: bool = True):
+    """Forward-only step returning (score, reg) maps."""
+
+    def eval_step(params, batch: Batch, apply_fn):
+        cparams = cast_for_compute(params, cfg.use_bf16)
+        cbatch = cast_for_compute(batch, cfg.use_bf16)
+        score, reg = apply_fn(cparams, *_model_inputs(cbatch, with_images))
+        return score.astype(jnp.float32), reg.astype(jnp.float32)
+
+    return eval_step
