@@ -1,0 +1,109 @@
+"""End-to-end throughput benchmark — prints ONE JSON line.
+
+Metric: KITTI-shaped frames/sec/chip for the full fused pipeline
+(device voxelization + MVXNet point-fusion inference), bf16 compute,
+batched.  Baseline: the reference publishes no numbers (BASELINE.md);
+the driver-set north star is 500 frames/s/chip on TPU v5e, so
+``vs_baseline`` = value / 500.
+
+Run: python bench.py [--batch N] [--iters N] [--lidar-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--lidar-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvxnet_makise_tpu.config import Config
+    from mvxnet_makise_tpu.data.pipeline import collate, preprocess_frame
+    from mvxnet_makise_tpu.data.synthetic import synthetic_frame
+    from mvxnet_makise_tpu.models import MVXNet, VoxelNetBranch
+    from mvxnet_makise_tpu.train.state import cast_for_compute
+    from mvxnet_makise_tpu.train.step import frames_to_batch
+
+    cfg = Config(use_bf16=True, batch_size=args.batch)
+    rng = np.random.default_rng(0)
+
+    # host-side: synthesize + pad a batch of KITTI-like frames
+    frames = []
+    for _ in range(args.batch):
+        pts, calib, image, boxes = synthetic_frame(rng, cfg)
+        frames.append(preprocess_frame(pts, calib, image, boxes, cfg))
+    fb = collate(frames)
+
+    with_images = not args.lidar_only
+    if with_images:
+        model = MVXNet(grid_shape=cfg.voxel_shape, image_size=cfg.image_size)
+    else:
+        model = VoxelNetBranch(grid_shape=cfg.voxel_shape)
+
+    def infer(params, points, num_points, images):
+        batch = frames_to_batch(points, num_points, images,
+                                jnp.zeros((args.batch, 1, 7)),
+                                jnp.zeros((args.batch, 1), bool), cfg)
+        cparams = cast_for_compute(params, cfg.use_bf16)
+        voxels = batch.voxels.astype(jnp.bfloat16)
+        if with_images:
+            score, reg = model.apply(
+                cparams, voxels, batch.coords, batch.vmask,
+                batch.images.astype(jnp.bfloat16))
+        else:
+            score, reg = model.apply(
+                cparams, voxels[..., :7], batch.coords, batch.vmask)
+        return score.astype(jnp.float32), reg.astype(jnp.float32)
+
+    points = jnp.asarray(fb.points)
+    num_points = jnp.asarray(fb.num_points)
+    images = jnp.asarray(fb.image)
+
+    # init params (host, f32)
+    dummy = frames_to_batch(points, num_points, images,
+                            jnp.zeros((args.batch, 1, 7)),
+                            jnp.zeros((args.batch, 1), bool), cfg)
+    if with_images:
+        params = jax.jit(model.init)(
+            jax.random.key(0), dummy.voxels, dummy.coords, dummy.vmask,
+            images)
+    else:
+        params = jax.jit(model.init)(
+            jax.random.key(0), dummy.voxels[..., :7], dummy.coords,
+            dummy.vmask)
+
+    step = jax.jit(infer)
+    for _ in range(args.warmup):
+        out = step(params, points, num_points, images)
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = step(params, points, num_points, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = args.batch * args.iters / dt
+    print(json.dumps({
+        "metric": "kitti_frames_per_sec_per_chip"
+                  + ("_lidar_only" if args.lidar_only else ""),
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

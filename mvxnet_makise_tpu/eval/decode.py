@@ -1,0 +1,51 @@
+"""Prediction decoding: score/reg maps -> final detections.
+
+The reference commits only the delta-decode helper
+(/root/reference/modules/Calc.py:228-236, itself inconsistent with its
+encoder — see geometry.boxes.decode_boxes) and no NMS or eval script
+(SURVEY.md §6).  This module is the full inference tail: decode deltas
+against the anchor grid, threshold, rotated-BEV NMS, static-size output.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mvxnet_makise_tpu.geometry.boxes import decode_boxes
+from mvxnet_makise_tpu.ops.nms import rotated_nms_bev
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray    # (K, 7) xyzlwhr
+    scores: jnp.ndarray   # (K,)
+    valid: jnp.ndarray    # (K,) bool
+
+
+def decode_predictions(score: jnp.ndarray,
+                       reg: jnp.ndarray,
+                       anchors: jnp.ndarray,
+                       *,
+                       score_threshold: float = 0.3,
+                       nms_iou_threshold: float = 0.1,
+                       pre_max_size: int = 512,
+                       post_max_size: int = 64) -> Detections:
+    """Single frame.  score: (H, W, A); reg: (H, W, A*7) or (H, W, A, 7);
+    anchors: (H, W, A, 7)."""
+    H, W, A, _ = anchors.shape
+    flat_scores = score.reshape(-1)
+    deltas = reg.reshape(H, W, A, 7)
+    boxes = decode_boxes(deltas, anchors).reshape(-1, 7)
+    idx, scores, valid = rotated_nms_bev(
+        boxes, flat_scores,
+        iou_threshold=nms_iou_threshold,
+        score_threshold=score_threshold,
+        pre_max_size=pre_max_size, post_max_size=post_max_size)
+    return Detections(boxes=boxes[idx], scores=scores, valid=valid)
+
+
+def decode_batch(score, reg, anchors, **kw):
+    return jax.vmap(
+        lambda s, r: decode_predictions(s, r, anchors, **kw))(score, reg)

@@ -180,6 +180,27 @@ def corners_iou_bev(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-12)
 
 
+def rotated_iou_3d(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise 3D IoU: rotated BEV intersection x vertical overlap.
+    boxes1 (N, 7), boxes2 (M, 7) with z = box bottom -> (N, M).
+
+    No reference counterpart (the reference ships no eval — SURVEY.md §6);
+    standard KITTI-protocol 3D IoU for the evaluator.
+    """
+    q1 = boxes3d_to_bev_corners(boxes1)
+    q2 = boxes3d_to_bev_corners(boxes2)
+    inter_bev = quad_intersection_area(q1[:, None], q2[None, :])
+    zlo = jnp.maximum(boxes1[:, None, 2], boxes2[None, :, 2])
+    zhi = jnp.minimum(boxes1[:, None, 2] + boxes1[:, None, 5],
+                      boxes2[None, :, 2] + boxes2[None, :, 5])
+    inter_h = jnp.maximum(zhi - zlo, 0.0)
+    inter = inter_bev * inter_h
+    v1 = boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5]
+    v2 = boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5]
+    union = v1[:, None] + v2[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
 # ---------------------------------------------------------------------------
 # regression encode / decode
 # ---------------------------------------------------------------------------

@@ -30,6 +30,36 @@ class Batch(NamedTuple):
     gt_mask: jnp.ndarray   # (B, G) bool
 
 
+def frames_to_batch(points, num_points, images, gt_boxes, gt_mask,
+                    cfg: Config, shuffle_key=None) -> Batch:
+    """Voxelize a batch of padded frames on device (vmapped, jittable).
+
+    points: (B, P, 6); num_points: (B,); images: (B, H, W, 3).
+    This is the device half of the input pipeline — host code only pads
+    and projects (data/pipeline.py); binning/sampling/centroids happen
+    here so they fuse into the same XLA program as the forward pass.
+    """
+    from mvxnet_makise_tpu.ops.voxelize import voxelize
+
+    B = points.shape[0]
+    keys = (jax.random.split(shuffle_key, B)
+            if shuffle_key is not None else None)
+
+    def one(p, n, k):
+        return voxelize(
+            p, n, velo_range=cfg.velo_range, voxel_size=cfg.voxel_size,
+            grid_shape=cfg.voxel_shape, max_voxels=cfg.max_voxels,
+            samples_per_voxel=cfg.samples_per_voxel, shuffle_key=k)
+
+    if keys is None:
+        grids = jax.vmap(lambda p, n: one(p, n, None))(points, num_points)
+    else:
+        grids = jax.vmap(one)(points, num_points, keys)
+    return Batch(voxels=grids.features, coords=grids.coords,
+                 vmask=grids.mask, images=images,
+                 gt_boxes=gt_boxes, gt_mask=gt_mask)
+
+
 def _assign_batch(batch: Batch, cfg: Config):
     return jax.vmap(lambda b, m: assign_anchor_targets(
         b, m, grid_hw=cfg.feature_map_shape, velo_range=cfg.velo_range,
