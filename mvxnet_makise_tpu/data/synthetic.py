@@ -94,5 +94,12 @@ def synthetic_frame(rng: np.random.Generator,
     refl = rng.uniform(0, 1, (len(cloud), 1)).astype(np.float32)
     points = np.concatenate([cloud.astype(np.float32), refl], axis=1)
 
+    # frustum-crop like the offline tool output (cropdata semantics),
+    # so frames look like velodyne_croped content
+    from mvxnet_makise_tpu.data.native import crop_project_numpy
+
+    points = crop_project_numpy(
+        points, calib, cfg.velo_range, cfg.image_size)[:, :4]
+
     image = rng.uniform(0, 1, (*cfg.image_size, 3)).astype(np.float32)
     return points, calib, image, boxes

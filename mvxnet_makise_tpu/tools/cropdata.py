@@ -1,0 +1,88 @@
+"""Offline frustum-crop tool: velodyne -> velodyne_croped.
+
+Counterpart of /root/reference/cropdata.py (SURVEY.md §2 C14): for every
+KITTI frame, range-crop then camera-frustum-crop the raw scan and write
+the result, so online epochs skip the work.
+
+Modes (the reference offers numpy | torch | torch-cuda; ours):
+  native : fused C++ crop (data/native.py) — fastest host path
+  numpy  : pure-numpy oracle implementation
+  jax    : batched mask-based crop on the accelerator
+
+Boundary semantics are identical across modes (half-open range bounds,
+``imsize - 1e-3`` frustum epsilon — reference Preprocessing.py:34-43).
+
+Usage: python -m mvxnet_makise_tpu.tools.cropdata <dataroot> [mode]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from mvxnet_makise_tpu.config import Config, load_config
+from mvxnet_makise_tpu.data import native
+from mvxnet_makise_tpu.data.kitti import KittiPaths
+from mvxnet_makise_tpu.geometry.calib import read_calib
+
+
+def crop_frame(points: np.ndarray, calib, cfg: Config,
+               mode: str) -> np.ndarray:
+    """Returns the cropped (K, 4) cloud (without projection columns)."""
+    if mode == "native":
+        out = native.crop_project(points, calib, cfg.velo_range,
+                                  cfg.image_size)
+        return out[:, :4]
+    if mode == "numpy":
+        out = native.crop_project_numpy(points, calib, cfg.velo_range,
+                                        cfg.image_size)
+        return out[:, :4]
+    if mode == "jax":
+        import jax.numpy as jnp
+
+        from mvxnet_makise_tpu.ops.voxelize import (
+            crop_to_range_mask, frustum_mask)
+
+        pts = jnp.asarray(points)
+        rect = jnp.asarray(calib.R0 @ calib.velo_to_cam)
+        proj = jnp.asarray(calib.P2) @ rect
+        m = crop_to_range_mask(pts, cfg.velo_range) & frustum_mask(
+            pts, proj, rect, cfg.image_size)
+        return np.asarray(pts[m])[:, :4]
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 1
+    root = argv[0]
+    mode = argv[1] if len(argv) > 1 and argv[1] != "-" else "native"
+    cfg = load_config(None, data_root=root)
+    paths = KittiPaths.from_root(root)
+    os.makedirs(paths.velodyne_cropped, exist_ok=True)
+
+    ids = sorted(os.path.splitext(f)[0]
+                 for f in os.listdir(paths.velodyne) if f.endswith(".bin"))
+    t0 = time.perf_counter()
+    for i, fid in enumerate(ids):
+        pts = np.fromfile(os.path.join(paths.velodyne, fid + ".bin"),
+                          dtype=np.float32).reshape(-1, 4)
+        calib = read_calib(os.path.join(paths.calib, fid + ".txt"))
+        out = crop_frame(pts, calib, cfg, mode)
+        out.astype(np.float32).tofile(
+            os.path.join(paths.velodyne_cropped, fid + ".bin"))
+        if (i + 1) % 500 == 0 or i + 1 == len(ids):
+            dt = time.perf_counter() - t0
+            print(f"\r{i + 1}/{len(ids)} ({(i + 1) / dt:.1f} frames/s)",
+                  end="", flush=True)
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
