@@ -1,0 +1,126 @@
+"""Evaluation CLI: checkpoint -> KITTI Car 3D AP@0.7 on the val split.
+
+No reference counterpart exists (its Test.py is gitignored —
+SURVEY.md §6); this closes that gap.
+
+``python -m mvxnet_makise_tpu.tools.evaluate <dataroot> -r EPOCH
+[--lidar-only] [--synthetic N]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def run_eval(cfg, frames, state_params, model, with_images: bool,
+             score_threshold: float = 0.3,
+             batch_size: int = 4):
+    import jax
+    import jax.numpy as jnp
+
+    from mvxnet_makise_tpu.eval.ap import average_precision_3d
+    from mvxnet_makise_tpu.eval.decode import decode_predictions
+    from mvxnet_makise_tpu.ops import create_anchors
+    from mvxnet_makise_tpu.train.loop import preprocess_train_frame
+    from mvxnet_makise_tpu.train.state import cast_for_compute
+    from mvxnet_makise_tpu.train.step import frames_to_batch
+
+    anchors = jnp.asarray(create_anchors(
+        cfg.feature_map_shape, cfg.velo_range, cfg.car_size))
+
+    @jax.jit
+    def infer(params, points, num_points, images):
+        batch = frames_to_batch(
+            points, num_points, images,
+            jnp.zeros((points.shape[0], 1, 7)),
+            jnp.zeros((points.shape[0], 1), bool), cfg)
+        cparams = cast_for_compute(params, cfg.use_bf16)
+        cbatch = cast_for_compute(batch, cfg.use_bf16)
+        if with_images:
+            score, reg = model.apply(cparams, cbatch.voxels, batch.coords,
+                                     batch.vmask, cbatch.images)
+        else:
+            score, reg = model.apply(cparams, cbatch.voxels[..., :7],
+                                     batch.coords, batch.vmask)
+        return jax.vmap(lambda s, r: decode_predictions(
+            s.astype(jnp.float32), r.astype(jnp.float32), anchors,
+            score_threshold=score_threshold))(score, reg)
+
+    dets, gts = [], []
+    rng = np.random.default_rng(0)
+    for i in range(0, len(frames), batch_size):
+        chunk = frames[i:i + batch_size]
+        fas = [preprocess_train_frame(f, cfg, None, rng) for f in chunk]
+        pts = np.stack([f.points for f in fas])
+        nps = np.asarray([f.num_points for f in fas], np.int32)
+        imgs = np.stack([f.image for f in fas])
+        decoded = jax.device_get(infer(state_params, pts, nps, imgs))
+        for b, frame in enumerate(chunk):
+            v = decoded.valid[b]
+            dets.append((decoded.boxes[b][v], decoded.scores[b][v]))
+            g = [frame.boxes[c] for c in cfg.target_classes
+                 if c in frame.boxes and len(frame.boxes[c])]
+            gts.append(np.concatenate(g, axis=0) if g
+                       else np.zeros((0, 7), np.float32))
+    return average_precision_3d(dets, gts, iou_threshold=0.7)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("dataroot", nargs="?", default=None)
+    p.add_argument("-r", "--epoch", type=int, required=False, default=None)
+    p.add_argument("--lidar-only", action="store_true")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--score-threshold", type=float, default=0.3)
+    args = p.parse_args(argv)
+
+    from mvxnet_makise_tpu.config import load_config
+    from mvxnet_makise_tpu.train import checkpoint as ckpt
+    from mvxnet_makise_tpu.train.loop import build_model_and_state
+
+    overrides = {}
+    if args.dataroot:
+        overrides["data_root"] = args.dataroot
+    cfg = load_config(None, **overrides)
+    with_images = not args.lidar_only
+    model, state = build_model_and_state(cfg, with_images)
+
+    epoch = args.epoch
+    if epoch is None:
+        epoch = ckpt.latest_epoch(cfg.checkpoint_dir)
+    if epoch:
+        state = ckpt.restore_checkpoint(cfg.checkpoint_dir, epoch, state)
+        print(f"restored epoch {epoch}")
+
+    if args.synthetic:
+        from mvxnet_makise_tpu.data.kitti import KittiFrame
+        from mvxnet_makise_tpu.data.synthetic import synthetic_frame
+
+        rng = np.random.default_rng(1)
+        frames = []
+        for i in range(args.synthetic):
+            pts, calib, image, boxes = synthetic_frame(rng, cfg)
+            frames.append(KittiFrame(
+                frame_id=f"synth{i:06d}", points=pts, image=image,
+                calib=calib, boxes={"Car": boxes},
+                bbox2d={"Car": np.zeros((len(boxes), 4), np.float32)},
+                difficulty={"Car": np.ones(len(boxes), np.int32)}))
+    else:
+        from mvxnet_makise_tpu.data.kitti import load_dataset
+
+        frames = load_dataset(cfg.data_root, "val", cfg,
+                              load_images=with_images, limit=args.limit)
+
+    res = run_eval(cfg, frames, state.params, model, with_images,
+                   score_threshold=args.score_threshold)
+    print({k: round(v, 4) if isinstance(v, float) else v
+           for k, v in res.items()})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Training CLI — mirrors the reference surface:
+``python -m mvxnet_makise_tpu.tools.train <dataroot> [-n N] [-r EPOCH]``
+(/root/reference/train.py:182-189 + modules/config/Parser.py), plus
+framework extras (--lidar-only, --synthetic, --image-weights, --bf16).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        usage="python -m mvxnet_makise_tpu.tools.train <dataroot> "
+              "[-n NUMEPOCHS] [-r RESUME] [options]")
+    p.add_argument("dataroot", nargs="?", default=None)
+    p.add_argument("-n", "--numepochs", type=int, default=10)
+    p.add_argument("-r", "--resume", type=int, default=0)
+    p.add_argument("--config", default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--lidar-only", action="store_true",
+                   help="train the VoxelNet branch without the image head")
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="train on N synthetic frames (no dataset needed)")
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap the number of dataset frames loaded")
+    p.add_argument("--image-weights", default=None,
+                   help="torch state_dict file for the ResNet50-FPN "
+                        "extractor (torchvision fasterrcnn_resnet50_fpn_v2)")
+    args = p.parse_args(argv)
+
+    from mvxnet_makise_tpu.config import load_config
+
+    overrides = {"num_epochs": args.numepochs}
+    if args.dataroot:
+        overrides["data_root"] = args.dataroot
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.bf16:
+        overrides["use_bf16"] = True
+    cfg = load_config(args.config, **overrides)
+
+    from mvxnet_makise_tpu.train.loop import train
+
+    if args.synthetic:
+        from mvxnet_makise_tpu.data.kitti import KittiFrame
+        from mvxnet_makise_tpu.data.synthetic import synthetic_frame
+
+        rng = np.random.default_rng(cfg.seed)
+        frames = []
+        for i in range(args.synthetic):
+            pts, calib, image, boxes = synthetic_frame(rng, cfg)
+            frames.append(KittiFrame(
+                frame_id=f"synth{i:06d}", points=pts, image=image,
+                calib=calib, boxes={"Car": boxes},
+                bbox2d={"Car": np.zeros((len(boxes), 4), np.float32)},
+                difficulty={"Car": np.ones(len(boxes), np.int32)}))
+        gt_db = None
+    else:
+        if not args.dataroot or not os.path.isdir(args.dataroot):
+            p.error("dataroot missing (or use --synthetic N)")
+        from mvxnet_makise_tpu.data.kitti import load_dataset
+
+        frames = load_dataset(cfg.data_root, "train", cfg,
+                              load_images=not args.lidar_only,
+                              limit=args.limit)
+        gt_db = None
+        if not args.no_augment:
+            from mvxnet_makise_tpu.data.gt_database import load_database
+
+            gtroot = os.path.join(cfg.data_root, "training", "gtdatabase")
+            if os.path.isdir(gtroot):
+                gt_db = load_database(cfg.data_root, cfg.target_classes)
+            else:
+                print("no gtdatabase found — training without paste "
+                      "augmentation (build one with "
+                      "tools/create_gtdatabase.py)")
+
+    image_weights = None
+    if args.image_weights:
+        import torch
+
+        image_weights = torch.load(args.image_weights, map_location="cpu")
+        if hasattr(image_weights, "state_dict"):
+            image_weights = image_weights.state_dict()
+
+    train(cfg, frames, gt_db=gt_db, with_images=not args.lidar_only,
+          resume_epoch=args.resume, image_weights=image_weights)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

