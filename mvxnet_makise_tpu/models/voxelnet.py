@@ -154,7 +154,9 @@ class VoxelNetBranch(nn.Module):
         # (B, D, H, W, 128)
         x = MiddleConvLayers(self.eps, name="cml")(dense)       # (B,2,H,W,64)
         B, D, H, W, C = x.shape
-        # fold depth into channels (reference VoxelNet.py:36 reshape)
-        x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, H, W, D * C)
+        # fold depth into channels with torch's (C, D) flattening order
+        # (reference VoxelNet.py:36 reshapes NCDHW -> N,C*D,H,W), so
+        # reference RPN weights import 1:1
+        x = jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(B, H, W, C * D)
         return RPN(self.anchors_per_loc, self.box_dim, self.eps,
                    name="rpn")(x)
