@@ -85,15 +85,23 @@ def main():
             dummy.vmask)
 
     step = jax.jit(infer)
+
+    def sync(o):
+        # force a real device sync: block_until_ready is not a reliable
+        # execution barrier on relayed/remote backends, so read a reduced
+        # scalar back to the host (cheap: one f32)
+        return float(jnp.sum(o[0][:, 0, 0, 0]))
+
     for _ in range(args.warmup):
         out = step(params, points, num_points, images)
-        jax.block_until_ready(out)
+        sync(out)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = step(params, points, num_points, images)
-    jax.block_until_ready(out)
+    checksum = sync(out)
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum), "non-finite benchmark output"
 
     fps = args.batch * args.iters / dt
     print(json.dumps({
