@@ -54,12 +54,16 @@ class Config:
     # ---- model ----
     # feature channels of the per-point image feature (MVX PointFusion).
     image_feature_dim: int = 16
-    # anchors per BEV location (yaw 0 and pi/2).
-    anchors_per_loc: int = 2
     # per-anchor regression dim (x y z l w h r).
     box_dim: int = 7
+    # per-class anchor (l, w, h); None = standard KITTI sizes for each
+    # target class (the reference supports Car only, config.yml carsize;
+    # multi-class is this framework's extension — BASELINE config 5)
+    anchor_sizes: Optional[Tuple[Tuple[float, float, float], ...]] = None
 
     # ---- target assignment (reference train.py:46) ----
+    # scalars apply to all classes; per-class overrides derive in
+    # __post_init__ (smaller classes conventionally use 0.35/0.5)
     neg_iou_threshold: float = 0.45
     pos_iou_threshold: float = 0.6
     # half-width (in anchor cells) of the dense IoU window evaluated around
@@ -102,6 +106,8 @@ class Config:
     voxel_size: Tuple[float, float, float] = dataclasses.field(init=False)
     eps: float = dataclasses.field(init=False)
     feature_map_shape: Tuple[int, int] = dataclasses.field(init=False)
+    class_neg_thresholds: Tuple[float, ...] = dataclasses.field(init=False)
+    class_pos_thresholds: Tuple[float, ...] = dataclasses.field(init=False)
 
     def __post_init__(self):
         vr, vs = self.velo_range, self.voxel_shape
@@ -113,8 +119,29 @@ class Config:
         # RPN output grid: voxel grid / 2 (reference train.py:59).
         object.__setattr__(
             self, "feature_map_shape", (vs[0] // 2, vs[1] // 2))
+        if self.anchor_sizes is None:
+            object.__setattr__(self, "anchor_sizes", tuple(
+                _DEFAULT_CLASS_SIZES.get(c, tuple(self.car_size))
+                for c in self.target_classes))
+        thr = tuple(
+            _DEFAULT_CLASS_THRESHOLDS.get(
+                c, (self.neg_iou_threshold, self.pos_iou_threshold))
+            for c in self.target_classes)
+        object.__setattr__(
+            self, "class_neg_thresholds", tuple(t[0] for t in thr))
+        object.__setattr__(
+            self, "class_pos_thresholds", tuple(t[1] for t in thr))
 
     # -- convenience --
+    @property
+    def num_classes(self) -> int:
+        return len(self.target_classes)
+
+    @property
+    def anchors_per_loc(self) -> int:
+        """Total anchor slots per BEV cell: 2 yaws per class."""
+        return 2 * self.num_classes
+
     @property
     def num_anchors(self) -> int:
         h, w = self.feature_map_shape
@@ -122,6 +149,21 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+
+# standard KITTI anchor footprints and match thresholds per class
+# (Car matches the reference's carsize/thresholds; the others follow the
+# VoxelNet-family conventions used for KITTI Ped/Cyc heads)
+_DEFAULT_CLASS_SIZES = {
+    "Car": (3.9, 1.6, 1.56),
+    "Pedestrian": (0.8, 0.6, 1.73),
+    "Cyclist": (1.76, 0.6, 1.73),
+}
+_DEFAULT_CLASS_THRESHOLDS = {
+    "Car": (0.45, 0.6),
+    "Pedestrian": (0.35, 0.5),
+    "Cyclist": (0.35, 0.5),
+}
 
 
 _YAML_KEYS = {

@@ -22,6 +22,7 @@ class Detections(NamedTuple):
     boxes: jnp.ndarray    # (K, 7) xyzlwhr
     scores: jnp.ndarray   # (K,)
     valid: jnp.ndarray    # (K,) bool
+    classes: jnp.ndarray  # (K,) int32 — anchor-slot class (slot // 2)
 
 
 def decode_predictions(score: jnp.ndarray,
@@ -43,7 +44,11 @@ def decode_predictions(score: jnp.ndarray,
         iou_threshold=nms_iou_threshold,
         score_threshold=score_threshold,
         pre_max_size=pre_max_size, post_max_size=post_max_size)
-    return Detections(boxes=boxes[idx], scores=scores, valid=valid)
+    # anchor slot ordering is [cls0_yaw0, cls0_yaw90, cls1_yaw0, ...]
+    # (ops/assign.py create_anchors), so class = slot // 2
+    classes = ((idx % A) // 2).astype(jnp.int32)
+    return Detections(boxes=boxes[idx], scores=scores, valid=valid,
+                      classes=classes)
 
 
 def decode_batch(score, reg, anchors, **kw):

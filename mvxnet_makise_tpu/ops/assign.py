@@ -56,21 +56,29 @@ def create_anchors(grid_hw: Sequence[int],
 
     Matches Preprocessing.py:118-142: centres at cell midpoints of an
     (H, W) grid over the BEV range, z = -1 (box bottom), one box size,
-    yaws 0 and pi/2.
+    yaws 0 and pi/2.  ``box_size`` may also be a *list of sizes*
+    (multi-class): the slot axis becomes len(sizes) * len(yaws), ordered
+    [cls0_yaw0, cls0_yaw90, cls1_yaw0, ...] — the reference is Car-only
+    (config.yml carsize), multi-class is this framework's extension.
     """
     H, W = grid_hw
+    sizes = np.asarray(box_size, dtype=np.float32)
+    if sizes.ndim == 1:
+        sizes = sizes[None]
     x0, y0, _, x1, y1, _ = velo_range
     ls, ws = (x1 - x0) / H, (y1 - y0) / W
     xs = x0 + ls / 2 + ls * np.arange(H, dtype=np.float32)
     ys = y0 + ws / 2 + ws * np.arange(W, dtype=np.float32)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
-    A = len(yaws)
+    A = len(sizes) * len(yaws)
     anchors = np.zeros((H, W, A, 7), dtype=np.float32)
     anchors[..., 0] = gx[..., None]
     anchors[..., 1] = gy[..., None]
     anchors[..., 2] = anchor_z
-    anchors[..., 3:6] = np.asarray(box_size, dtype=np.float32)
-    anchors[..., 6] = np.asarray(yaws, dtype=np.float32)
+    for c, size in enumerate(sizes):
+        sl = slice(c * len(yaws), (c + 1) * len(yaws))
+        anchors[..., sl, 3:6] = size
+        anchors[..., sl, 6] = np.asarray(yaws, dtype=np.float32)
     return anchors
 
 
@@ -85,8 +93,16 @@ def assign_anchor_targets(gt_boxes: jnp.ndarray,
                           window: int = 12,
                           anchor_z: float = -1.0,
                           yaws: Sequence[float] = (0.0, np.pi / 2),
+                          gt_classes: jnp.ndarray = None,
                           ) -> AnchorTargets:
     """Dense windowed anchor<->GT assignment, fully jit-able.
+
+    Single-class when ``box_size`` is one (l, w, h) triple.  Multi-class
+    when it is a list of per-class sizes: pass ``gt_classes`` (G,) int32
+    and each class's GTs only compete for its own pair of anchor slots;
+    the output slot axis is len(sizes) * len(yaws), matching
+    :func:`create_anchors` ordering.  ``neg/pos_threshold`` may be
+    scalars or per-class sequences.
 
     Args:
       gt_boxes: (G, 7) xyzlwhr, padded.
@@ -95,6 +111,46 @@ def assign_anchor_targets(gt_boxes: jnp.ndarray,
         cell; must exceed the IoU>0 reach (12 cells * 0.4 m = 4.8 m >
         3.9 m max box extent for KITTI cars).
     """
+    sizes = np.asarray(box_size, dtype=np.float32)
+    if sizes.ndim == 2:  # multi-class
+        n_cls = len(sizes)
+        negs = (np.broadcast_to(neg_threshold, (n_cls,))
+                if np.ndim(neg_threshold) == 0 else np.asarray(neg_threshold))
+        poss = (np.broadcast_to(pos_threshold, (n_cls,))
+                if np.ndim(pos_threshold) == 0 else np.asarray(pos_threshold))
+        parts = []
+        for c in range(n_cls):
+            cmask = gt_mask if gt_classes is None else (
+                gt_mask & (gt_classes == c))
+            parts.append(_assign_one_class(
+                gt_boxes, cmask, grid_hw=grid_hw, velo_range=velo_range,
+                box_size=tuple(sizes[c]), neg_threshold=float(negs[c]),
+                pos_threshold=float(poss[c]), window=window,
+                anchor_z=anchor_z, yaws=yaws))
+        return AnchorTargets(
+            pos=jnp.concatenate([p.pos for p in parts], axis=-1),
+            ignore=jnp.concatenate([p.ignore for p in parts], axis=-1),
+            gt_index=jnp.concatenate([p.gt_index for p in parts], axis=-1))
+    return _assign_one_class(
+        gt_boxes, gt_mask, grid_hw=grid_hw, velo_range=velo_range,
+        box_size=box_size, neg_threshold=neg_threshold,
+        pos_threshold=pos_threshold, window=window, anchor_z=anchor_z,
+        yaws=yaws)
+
+
+def _assign_one_class(gt_boxes: jnp.ndarray,
+                      gt_mask: jnp.ndarray,
+                      *,
+                      grid_hw: Sequence[int],
+                      velo_range: Sequence[float],
+                      box_size: Sequence[float],
+                      neg_threshold: float,
+                      pos_threshold: float,
+                      window: int,
+                      anchor_z: float,
+                      yaws: Sequence[float],
+                      ) -> AnchorTargets:
+    """Windowed IoU pass for one anchor footprint (see caller)."""
     H, W = grid_hw
     A = len(yaws)
     G = gt_boxes.shape[0]

@@ -29,7 +29,7 @@ def run_eval(cfg, frames, state_params, model, with_images: bool,
     from mvxnet_makise_tpu.train.step import frames_to_batch
 
     anchors = jnp.asarray(create_anchors(
-        cfg.feature_map_shape, cfg.velo_range, cfg.car_size))
+        cfg.feature_map_shape, cfg.velo_range, cfg.anchor_sizes))
 
     @jax.jit
     def infer(params, points, num_points, images):
@@ -53,7 +53,7 @@ def run_eval(cfg, frames, state_params, model, with_images: bool,
     rng = np.random.default_rng(0)
     for i in range(0, len(frames), batch_size):
         chunk = frames[i:i + batch_size]
-        fas = [preprocess_train_frame(f, cfg, None, rng) for f in chunk]
+        fas = [preprocess_train_frame(f, cfg, None, rng)[0] for f in chunk]
         pts = np.stack([f.points for f in fas])
         nps = np.asarray([f.num_points for f in fas], np.int32)
         imgs = np.stack([f.image for f in fas])

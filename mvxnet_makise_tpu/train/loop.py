@@ -69,20 +69,26 @@ def preprocess_train_frame(frame: KittiFrame, cfg: Config,
     pts = np.zeros((cfg.max_points, 6), dtype=np.float32)
     pts[:n] = cloud[:n]
 
-    all_boxes = [boxes[c] for c in cfg.target_classes
-                 if c in boxes and len(boxes[c])]
+    all_boxes, all_cls = [], []
+    for ci, c in enumerate(cfg.target_classes):
+        if c in boxes and len(boxes[c]):
+            all_boxes.append(boxes[c])
+            all_cls.append(np.full(len(boxes[c]), ci, np.int32))
     gt = np.zeros((cfg.max_boxes, 7), np.float32)
+    gcls = np.zeros((cfg.max_boxes,), np.int32)
     gmask = np.zeros((cfg.max_boxes,), bool)
     if all_boxes:
         cat = np.concatenate(all_boxes, axis=0)[:cfg.max_boxes]
+        ccls = np.concatenate(all_cls, axis=0)[:cfg.max_boxes]
         gt[:len(cat)] = cat
+        gcls[:len(cat)] = ccls
         gmask[:len(cat)] = True
 
     img = image if image is not None else np.zeros(
         (*cfg.image_size, 3), np.float32)
     return FrameArrays(points=pts, num_points=np.int32(n),
                        image=np.asarray(img, np.float32),
-                       gt_boxes=gt, gt_mask=gmask)
+                       gt_boxes=gt, gt_mask=gmask), gcls
 
 
 def make_full_train_step(cfg: Config, anchors, with_images: bool):
@@ -91,9 +97,10 @@ def make_full_train_step(cfg: Config, anchors, with_images: bool):
 
     @jax.jit
     def step(state: TrainState, points, num_points, images, gt_boxes,
-             gt_mask, key):
+             gt_mask, gt_classes, key):
         batch = frames_to_batch(points, num_points, images, gt_boxes,
-                                gt_mask, cfg, shuffle_key=key)
+                                gt_mask, cfg, shuffle_key=key,
+                                gt_classes=gt_classes)
         return inner(state, batch)
 
     return step
@@ -106,9 +113,11 @@ def build_model_and_state(cfg: Config, with_images: bool,
     if with_images:
         model = MVXNet(grid_shape=cfg.voxel_shape,
                        image_size=cfg.image_size,
+                       anchors_per_loc=cfg.anchors_per_loc,
                        swapped_bilerp=cfg.compat_swapped_bilerp)
     else:
-        model = VoxelNetBranch(grid_shape=cfg.voxel_shape)
+        model = VoxelNetBranch(grid_shape=cfg.voxel_shape,
+                               anchors_per_loc=cfg.anchors_per_loc)
 
     V, T = cfg.max_voxels, cfg.samples_per_voxel
     dummy_vox = jnp.zeros((1, V, T, 9 if with_images else 7))
@@ -154,7 +163,7 @@ def train(cfg: Config,
     """Run the training loop over in-RAM frames.  Returns final state."""
     num_epochs = num_epochs or cfg.num_epochs
     anchors = create_anchors(cfg.feature_map_shape, cfg.velo_range,
-                             cfg.car_size)
+                             cfg.anchor_sizes)
     model, state = build_model_and_state(cfg, with_images,
                                          image_weights=image_weights)
     if resume_epoch > 0:
@@ -183,22 +192,23 @@ def train(cfg: Config,
             prepped = pool.map(prep, frames)
             batch_buf: List[FrameArrays] = []
             it = 0
-            for fa in prepped:
-                batch_buf.append(fa)
+            for fa_cls in prepped:
+                batch_buf.append(fa_cls)
                 if len(batch_buf) < B:
                     continue
                 with timer.phase("host_collate"):
-                    pts = np.stack([f.points for f in batch_buf])
+                    pts = np.stack([f.points for f, _ in batch_buf])
                     nps = np.asarray(
-                        [f.num_points for f in batch_buf], np.int32)
-                    imgs = np.stack([f.image for f in batch_buf])
-                    gts = np.stack([f.gt_boxes for f in batch_buf])
-                    gms = np.stack([f.gt_mask for f in batch_buf])
+                        [f.num_points for f, _ in batch_buf], np.int32)
+                    imgs = np.stack([f.image for f, _ in batch_buf])
+                    gts = np.stack([f.gt_boxes for f, _ in batch_buf])
+                    gms = np.stack([f.gt_mask for f, _ in batch_buf])
+                    gcs = np.stack([c for _, c in batch_buf])
                 batch_buf = []
                 key, sub = jax.random.split(key)
                 with timer.phase("device_step"):
                     state, metrics = step(state, pts, nps, imgs, gts,
-                                          gms, sub)
+                                          gms, gcs, sub)
                     metrics = jax.device_get(metrics)
                 tracker.update(metrics)
                 it += 1

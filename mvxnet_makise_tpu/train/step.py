@@ -28,10 +28,12 @@ class Batch(NamedTuple):
     images: jnp.ndarray    # (B, H, W, 3) float [0,1]; empty for lidar-only
     gt_boxes: jnp.ndarray  # (B, G, 7)
     gt_mask: jnp.ndarray   # (B, G) bool
+    gt_classes: jnp.ndarray = None  # (B, G) int32; None = all class 0
 
 
 def frames_to_batch(points, num_points, images, gt_boxes, gt_mask,
-                    cfg: Config, shuffle_key=None) -> Batch:
+                    cfg: Config, shuffle_key=None,
+                    gt_classes=None) -> Batch:
     """Voxelize a batch of padded frames on device (vmapped, jittable).
 
     points: (B, P, 6); num_points: (B,); images: (B, H, W, 3).
@@ -57,15 +59,21 @@ def frames_to_batch(points, num_points, images, gt_boxes, gt_mask,
         grids = jax.vmap(one)(points, num_points, keys)
     return Batch(voxels=grids.features, coords=grids.coords,
                  vmask=grids.mask, images=images,
-                 gt_boxes=gt_boxes, gt_mask=gt_mask)
+                 gt_boxes=gt_boxes, gt_mask=gt_mask,
+                 gt_classes=gt_classes)
 
 
 def _assign_batch(batch: Batch, cfg: Config):
-    return jax.vmap(lambda b, m: assign_anchor_targets(
+    classes = batch.gt_classes
+    if classes is None:
+        classes = jnp.zeros(batch.gt_mask.shape, jnp.int32)
+    return jax.vmap(lambda b, m, c: assign_anchor_targets(
         b, m, grid_hw=cfg.feature_map_shape, velo_range=cfg.velo_range,
-        box_size=cfg.car_size, neg_threshold=cfg.neg_iou_threshold,
-        pos_threshold=cfg.pos_iou_threshold, window=cfg.assign_window,
-    ))(batch.gt_boxes, batch.gt_mask)
+        box_size=cfg.anchor_sizes,
+        neg_threshold=cfg.class_neg_thresholds,
+        pos_threshold=cfg.class_pos_thresholds,
+        window=cfg.assign_window, gt_classes=c,
+    ))(batch.gt_boxes, batch.gt_mask, classes)
 
 
 def _model_inputs(batch: Batch, with_images: bool):

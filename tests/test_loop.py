@@ -93,10 +93,12 @@ def test_preprocess_train_frame_no_augment(tmp_path):
     cfg = small_cfg(tmp_path)
     frames = make_frames(cfg, 1)
     rng = np.random.default_rng(0)
-    fa = preprocess_train_frame(frames[0], cfg, None, rng)
+    fa, gcls = preprocess_train_frame(frames[0], cfg, None, rng)
     assert fa.points.shape == (cfg.max_points, 6)
     assert fa.gt_mask.sum() == 2
     assert int(fa.num_points) > 0
+    assert gcls.shape == (cfg.max_boxes,)
+    assert np.all(gcls[fa.gt_mask] == 0)  # single-class config
 
 
 def test_loss_tracker_nan_filtering():
