@@ -32,7 +32,7 @@ def main():
     from mvxnet_makise_tpu.config import Config
     from mvxnet_makise_tpu.data.pipeline import collate, preprocess_frame
     from mvxnet_makise_tpu.data.synthetic import synthetic_frame
-    from mvxnet_makise_tpu.models import MVXNet, VoxelNetBranch
+    from mvxnet_makise_tpu.models import MVXNetPointFusion, VoxelNetBranch
     from mvxnet_makise_tpu.train.state import cast_for_compute
     from mvxnet_makise_tpu.train.step import frames_to_batch
 
@@ -48,7 +48,8 @@ def main():
 
     with_images = not args.lidar_only
     if with_images:
-        model = MVXNet(grid_shape=cfg.voxel_shape, image_size=cfg.image_size)
+        model = MVXNetPointFusion(grid_shape=cfg.voxel_shape,
+                                  image_size=cfg.image_size)
     else:
         model = VoxelNetBranch(grid_shape=cfg.voxel_shape)
 
@@ -61,7 +62,8 @@ def main():
         if with_images:
             score, reg = model.apply(
                 cparams, voxels, batch.coords, batch.vmask,
-                batch.images.astype(jnp.bfloat16))
+                batch.images.astype(jnp.bfloat16),
+                points.astype(jnp.bfloat16), batch.point_slots)
         else:
             score, reg = model.apply(
                 cparams, voxels[..., :7], batch.coords, batch.vmask)
@@ -78,7 +80,7 @@ def main():
     if with_images:
         params = jax.jit(model.init)(
             jax.random.key(0), dummy.voxels, dummy.coords, dummy.vmask,
-            images)
+            images, points, dummy.point_slots)
     else:
         params = jax.jit(model.init)(
             jax.random.key(0), dummy.voxels[..., :7], dummy.coords,

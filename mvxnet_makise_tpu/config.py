@@ -95,6 +95,11 @@ class Config:
     # mesh axis sizes (data, model); (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
 
+    # use the per-point image-fusion fast path (MVXNetPointFusion):
+    # numerically equivalent to the slot-based reference dataflow at a
+    # fraction of the gather/MLP work; disable only for debugging
+    point_fusion: bool = True
+
     # ---- compat knobs ----
     # the reference's bilinear gather swaps the interpolation weights vs the
     # textbook formula (/root/reference/modules/imhead/Pipe.py:72-75).  We

@@ -19,6 +19,11 @@ from mvxnet_makise_tpu.models.resnet_fpn import (  # noqa: F401
 from mvxnet_makise_tpu.models.image_head import (  # noqa: F401
     ImageFeatureFusion,
     ImageHead,
+    PointImageFusion,
+    PointImageHead,
     detection_transform,
 )
-from mvxnet_makise_tpu.models.mvxnet import MVXNet  # noqa: F401
+from mvxnet_makise_tpu.models.mvxnet import (  # noqa: F401
+    MVXNet,
+    MVXNetPointFusion,
+)

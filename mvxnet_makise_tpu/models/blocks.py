@@ -76,6 +76,47 @@ class DenseReluNorm(nn.Module):
         return standardize(x, self.eps)
 
 
+class DenseReluNormVirtual(nn.Module):
+    """Dense -> ReLU -> standardize over real rows *plus* ``n_virtual``
+    copies of a constant row.
+
+    This powers the per-point fusion path: the reference feeds the
+    768-wide fusion MLP one row per voxel *sample slot* — most of which
+    are identical zero rows (empty slots, imhead/Pipe.py:53-59) — and
+    its batch statistics include all of them.  Computing only over the
+    ~13x smaller set of *real* points is exact as long as the statistics
+    account for the constant rows analytically, and the constant row's
+    own activation is tracked through every layer.  That is what this
+    block does: it applies the shared Dense to ``x`` (real rows) and to
+    ``z`` (the virtual row's current value), then normalizes both with
+    moments computed over real + virtual populations.
+    """
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 z: jnp.ndarray, n_virtual: jnp.ndarray):
+        """x: (..., P, C); mask: (..., P) real-row validity (stats are
+        computed over ALL leading dims jointly, like torch BN over the
+        batch); z: (C,) virtual-row value; n_virtual: () count.
+        Returns (x', z')."""
+        d = nn.Dense(self.features, name="fc")
+        h = nn.relu(d(x))
+        hz = nn.relu(d(z))
+
+        m = mask[..., None].astype(h.dtype)
+        n_real = jnp.sum(m)
+        n_tot = n_real + n_virtual.astype(h.dtype)
+        axes = tuple(range(h.ndim - 1))
+        mean = (jnp.sum(h * m, axis=axes) + n_virtual * hz) / n_tot
+        sq = (jnp.sum(jnp.square(h) * m, axis=axes)
+              + n_virtual * jnp.square(hz)) / n_tot
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return (h - mean) * inv, (hz - mean) * inv
+
+
 class ConvReluNorm(nn.Module):
     """Conv(2D/3D by kernel rank) -> ReLU -> standardize.
 

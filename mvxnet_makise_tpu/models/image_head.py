@@ -35,7 +35,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from mvxnet_makise_tpu.models.blocks import DenseReluNorm
+from mvxnet_makise_tpu.models.blocks import (
+    DenseReluNorm,
+    DenseReluNormVirtual,
+)
 from mvxnet_makise_tpu.models.resnet_fpn import ResNet50FPN
 from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn
 
@@ -86,6 +89,64 @@ class ImageFeatureFusion(nn.Module):
         x = DenseReluNorm(16, self.eps, name="conv2")(x, m)
         x = DenseReluNorm(16, self.eps, name="fcn3")(x, m)
         return x
+
+
+class PointImageFusion(nn.Module):
+    """768 -> 16 fusion MLP over *points* with virtual-row statistics.
+
+    Numerically identical to :class:`ImageFeatureFusion` run over the
+    full (V, T) slot grid (see DenseReluNormVirtual) while doing ~13x
+    less work: real KITTI frames carry ~20-30k points against
+    max_voxels * T = 430k sample slots.  Layer names match
+    ImageFeatureFusion so reference-checkpoint import works unchanged.
+    """
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 n_virtual: jnp.ndarray):
+        """x: (..., P, 768); mask: (..., P); n_virtual: () count of empty
+        sample slots.  Returns ((..., P, 16) point features,
+        (16,) empty-slot feature)."""
+        z = jnp.zeros((x.shape[-1],), x.dtype)
+        for name, width in [("fcn1", 768), ("conv1", 128),
+                            ("fcn2", 128), ("conv2", 16), ("fcn3", 16)]:
+            x, z = DenseReluNormVirtual(width, self.eps, name=name)(
+                x, mask, z, n_virtual)
+        return x, z
+
+
+class PointImageHead(nn.Module):
+    """Frozen FPN extractor + *per-point* gather + virtual-row fusion.
+
+    The fast path: gathers and fuses once per real LiDAR point instead of
+    once per voxel sample slot (13x less gather traffic and MLP FLOPs on
+    KITTI shapes), with exact slot-grid semantics via
+    :class:`PointImageFusion`.  Parameter tree matches :class:`ImageHead`
+    (extractor/fusion) so checkpoints interchange.
+    """
+    image_size: Tuple[int, int] = (370, 1224)
+    eps: float = 1e-6
+    swapped_bilerp: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, points_rc: jnp.ndarray,
+                 point_mask: jnp.ndarray, n_virtual: jnp.ndarray):
+        """images: (B, H, W, 3); points_rc: (B, P, 2) (row, col);
+        point_mask: (B, P) rows that landed in a voxel slot;
+        n_virtual: () count of empty sample slots across the batch.
+        Returns ((B, P, 16), (16,) empty-slot feature)."""
+        import jax
+
+        x = jax.vmap(detection_transform)(images)
+        pyramid = ResNet50FPN(name="extractor")(x)
+        gathered = jax.vmap(
+            lambda feats, rc, ok: bilinear_gather_fpn(
+                feats, rc, ok, self.image_size, eps=self.eps,
+                swapped_weights=self.swapped_bilerp)
+        )(pyramid, points_rc, point_mask)
+        return PointImageFusion(self.eps, name="fusion")(
+            gathered, point_mask, n_virtual)
 
 
 class ImageHead(nn.Module):

@@ -17,7 +17,9 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mvxnet_makise_tpu.models.image_head import ImageHead
+import jax
+
+from mvxnet_makise_tpu.models.image_head import ImageHead, PointImageHead
 from mvxnet_makise_tpu.models.voxelnet import VoxelNetBranch
 
 
@@ -46,6 +48,63 @@ class MVXNet(nn.Module):
         imfeat = ImageHead(
             self.image_size, self.eps, self.swapped_bilerp,
             name="head")(images, points_rc, point_valid, mask)
+
+        fused = jnp.concatenate([voxels[..., :7], imfeat], axis=-1)
+        return VoxelNetBranch(
+            self.grid_shape, self.anchors_per_loc, self.box_dim, self.eps,
+            name="backbone")(fused, coords, mask)
+
+
+class MVXNetPointFusion(nn.Module):
+    """MVXNet with the image branch evaluated *per point* (fast path).
+
+    Numerically equivalent to :class:`MVXNet` (see PointImageFusion's
+    virtual-row statistics) but the gather + 768-wide fusion MLP run over
+    the ~20-30k real points of a frame instead of max_voxels * T = 430k
+    voxel sample slots — on KITTI shapes that removes ~93% of the image
+    branch's post-backbone work.  Parameter tree is identical to
+    :class:`MVXNet`; checkpoints interchange both ways.
+    """
+    grid_shape: Sequence[int] = (352, 400, 10)
+    image_size: Tuple[int, int] = (370, 1224)
+    anchors_per_loc: int = 2
+    box_dim: int = 7
+    eps: float = 1e-6
+    swapped_bilerp: bool = False
+
+    @nn.compact
+    def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
+                 mask: jnp.ndarray, images: jnp.ndarray,
+                 points: jnp.ndarray, point_slots: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """voxels: (B, V, T, 9); coords: (B, V, 3); mask: (B, V);
+        images: (B, H, W, 3); points: (B, P, 6) padded input clouds
+        ([x y z refl row col]); point_slots: (B, P) flat voxel-sample
+        slot per point (-1 = dropped/padding; ops/voxelize.py)."""
+        B, V, T, _ = voxels.shape
+        P = points.shape[1]
+
+        kept = point_slots >= 0                            # (B, P)
+        slot_total = jnp.sum(mask) * T
+        n_virtual = slot_total - jnp.sum(kept)
+
+        feats, z = PointImageHead(
+            self.image_size, self.eps, self.swapped_bilerp,
+            name="head")(images, points[..., 4:6], kept, n_virtual)
+        # (B, P, 16), (16,)
+
+        def scatter_one(f, slots):
+            safe = jnp.where(slots >= 0, slots, V * T)
+            buf = jnp.zeros((V * T + 1, f.shape[-1]), f.dtype)
+            buf = buf.at[safe].set(f, mode="drop")
+            filled = jnp.zeros((V * T + 1,), bool).at[safe].set(
+                True, mode="drop")
+            return (buf[:-1].reshape(V, T, -1),
+                    filled[:-1].reshape(V, T))
+
+        imfeat, filled = jax.vmap(scatter_one)(feats, point_slots)
+        imfeat = jnp.where(filled[..., None], imfeat,
+                           z.astype(imfeat.dtype))
 
         fused = jnp.concatenate([voxels[..., :7], imfeat], axis=-1)
         return VoxelNetBranch(

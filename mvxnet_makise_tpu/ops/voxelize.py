@@ -41,6 +41,12 @@ class VoxelGrid(NamedTuple):
     counts: jnp.ndarray      # (max_voxels,) int32 — points kept per voxel
     num_voxels: jnp.ndarray  # () int32
     mask: jnp.ndarray        # (max_voxels,) bool — slot holds a real voxel
+    # flat sample-slot index (voxel * T + rank) each *input* row landed
+    # in, -1 if dropped — lets per-point computations (e.g. the
+    # point-fusion image features) scatter into the voxel buffer without
+    # re-deriving the binning
+    point_slots: jnp.ndarray  # (P,) int32
+    num_kept: jnp.ndarray     # () int32 — total points kept
 
 
 def crop_to_range_mask(points: jnp.ndarray,
@@ -170,5 +176,15 @@ def voxelize(points: jnp.ndarray,
     slot_ok = (jnp.arange(T)[None, :] < counts[:, None]) & vmask[:, None]
     feats = jnp.where(slot_ok[..., None], feats, 0.0)
 
+    # map original input rows -> flat sample slot
+    if shuffle_key is not None:
+        orig_rows = perm[order]
+    else:
+        orig_rows = order
+    point_slots = jnp.full((P,), -1, jnp.int32).at[orig_rows].set(
+        jnp.where(keep, (seg_id * T + rank).astype(jnp.int32), -1))
+    num_kept = jnp.sum(keep).astype(jnp.int32)
+
     return VoxelGrid(features=feats, coords=coords, counts=counts,
-                     num_voxels=num_voxels, mask=vmask)
+                     num_voxels=num_voxels, mask=vmask,
+                     point_slots=point_slots, num_kept=num_kept)

@@ -1,0 +1,144 @@
+"""Serving API: a batched, jit-compiled end-to-end detector.
+
+No reference counterpart (the reference ships no inference script at all
+— SURVEY.md §6).  This is the production entry point: one object owning
+config, parameters and the compiled pipeline; feed raw KITTI-style
+frames, get back thresholded, NMS-filtered 3D boxes.
+
+The whole device path (voxelize -> point-fusion image branch -> VoxelNet
+-> decode -> NMS) is ONE XLA program, compiled once per batch size.
+Host work per frame is the fused C++ crop+project+pad
+(data/native.assemble_frame) — microseconds.
+
+Example:
+    det = Detector.create(cfg, checkpoint_epoch=10)
+    results = det.detect_frames([(points, calib, image), ...])
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mvxnet_makise_tpu.config import Config
+from mvxnet_makise_tpu.data import native
+from mvxnet_makise_tpu.eval.decode import decode_predictions
+from mvxnet_makise_tpu.geometry.calib import Calib
+from mvxnet_makise_tpu.ops import create_anchors
+from mvxnet_makise_tpu.train.state import cast_for_compute
+from mvxnet_makise_tpu.train.step import frames_to_batch
+
+
+class FrameDetections(NamedTuple):
+    boxes: np.ndarray     # (K, 7) xyzlwhr (LiDAR frame)
+    scores: np.ndarray    # (K,)
+    classes: np.ndarray   # (K,) int — index into cfg.target_classes
+
+
+class Detector:
+    """Compiled end-to-end detector (batched)."""
+
+    def __init__(self, cfg: Config, model, params,
+                 with_images: bool = True,
+                 score_threshold: float = 0.3,
+                 nms_iou_threshold: float = 0.1):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.with_images = with_images
+        self.anchors = jnp.asarray(create_anchors(
+            cfg.feature_map_shape, cfg.velo_range, cfg.anchor_sizes))
+        self.score_threshold = score_threshold
+        self.nms_iou_threshold = nms_iou_threshold
+        self._compiled = {}
+
+    @classmethod
+    def create(cls, cfg: Config,
+               checkpoint_epoch: Optional[int] = None,
+               with_images: bool = True,
+               **kw) -> "Detector":
+        from mvxnet_makise_tpu.train import checkpoint as ckpt
+        from mvxnet_makise_tpu.train.loop import build_model_and_state
+
+        model, state = build_model_and_state(cfg, with_images)
+        if checkpoint_epoch is None:
+            checkpoint_epoch = ckpt.latest_epoch(cfg.checkpoint_dir)
+        if checkpoint_epoch:
+            state = ckpt.restore_checkpoint(
+                cfg.checkpoint_dir, checkpoint_epoch, state)
+        return cls(cfg, model, state.params, with_images, **kw)
+
+    # -- compiled pipeline --------------------------------------------------
+
+    def _pipeline(self, batch_size: int):
+        if batch_size in self._compiled:
+            return self._compiled[batch_size]
+        cfg = self.cfg
+
+        @jax.jit
+        def run(params, points, num_points, images):
+            batch = frames_to_batch(
+                points, num_points, images,
+                jnp.zeros((batch_size, 1, 7)),
+                jnp.zeros((batch_size, 1), bool), cfg)
+            cparams = cast_for_compute(params, cfg.use_bf16)
+            cbatch = cast_for_compute(batch, cfg.use_bf16)
+            if self.with_images and cfg.point_fusion:
+                score, reg = self.model.apply(
+                    cparams, cbatch.voxels, batch.coords, batch.vmask,
+                    cbatch.images, cbatch.points, batch.point_slots)
+            elif self.with_images:
+                score, reg = self.model.apply(
+                    cparams, cbatch.voxels, batch.coords, batch.vmask,
+                    cbatch.images)
+            else:
+                score, reg = self.model.apply(
+                    cparams, cbatch.voxels[..., :7], batch.coords,
+                    batch.vmask)
+            return jax.vmap(lambda s, r: decode_predictions(
+                s.astype(jnp.float32), r.astype(jnp.float32),
+                self.anchors, score_threshold=self.score_threshold,
+                nms_iou_threshold=self.nms_iou_threshold))(score, reg)
+
+        self._compiled[batch_size] = run
+        return run
+
+    # -- host API -----------------------------------------------------------
+
+    def detect_frames(self, frames: Sequence[Tuple[np.ndarray, Calib,
+                                                   Optional[np.ndarray]]]
+                      ) -> List[FrameDetections]:
+        """frames: list of (points (N, >=4), calib, image or None).
+        Points may be raw scans — the native crop+project handles
+        range/frustum filtering."""
+        cfg = self.cfg
+        B = len(frames)
+        pts = np.zeros((B, cfg.max_points, 6), np.float32)
+        nums = np.zeros((B,), np.int32)
+        imgs = np.zeros((B, *cfg.image_size, 3), np.float32)
+        for i, (points, calib, image) in enumerate(frames):
+            buf, n = native.assemble_frame(
+                points, calib, cfg.velo_range, cfg.image_size,
+                cfg.max_points, seed=0)
+            pts[i], nums[i] = buf, n
+            if image is not None:
+                img = np.asarray(image, np.float32)
+                if img.max() > 1.5:
+                    img = img / 255.0
+                h, w = cfg.image_size
+                imgs[i, :img.shape[0], :img.shape[1]] = img[:h, :w]
+
+        run = self._pipeline(B)
+        det = jax.device_get(run(self.params, jnp.asarray(pts),
+                                 jnp.asarray(nums), jnp.asarray(imgs)))
+        out = []
+        for b in range(B):
+            v = det.valid[b]
+            out.append(FrameDetections(
+                boxes=det.boxes[b][v], scores=det.scores[b][v],
+                classes=det.classes[b][v]))
+        return out

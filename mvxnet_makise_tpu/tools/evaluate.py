@@ -39,7 +39,11 @@ def run_eval(cfg, frames, state_params, model, with_images: bool,
             jnp.zeros((points.shape[0], 1), bool), cfg)
         cparams = cast_for_compute(params, cfg.use_bf16)
         cbatch = cast_for_compute(batch, cfg.use_bf16)
-        if with_images:
+        if with_images and cfg.point_fusion:
+            score, reg = model.apply(cparams, cbatch.voxels, batch.coords,
+                                     batch.vmask, cbatch.images,
+                                     cbatch.points, batch.point_slots)
+        elif with_images:
             score, reg = model.apply(cparams, cbatch.voxels, batch.coords,
                                      batch.vmask, cbatch.images)
         else:

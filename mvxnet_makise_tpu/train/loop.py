@@ -34,7 +34,11 @@ from mvxnet_makise_tpu.data.augment import (
 from mvxnet_makise_tpu.data.kitti import KittiFrame
 from mvxnet_makise_tpu.data.pipeline import FrameArrays
 from mvxnet_makise_tpu.geometry.calib import lidar_to_image
-from mvxnet_makise_tpu.models import MVXNet, VoxelNetBranch
+from mvxnet_makise_tpu.models import (
+    MVXNet,
+    MVXNetPointFusion,
+    VoxelNetBranch,
+)
 from mvxnet_makise_tpu.ops import create_anchors
 from mvxnet_makise_tpu.train import checkpoint as ckpt
 from mvxnet_makise_tpu.train.state import TrainState, make_optimizer
@@ -110,11 +114,12 @@ def build_model_and_state(cfg: Config, with_images: bool,
                           rng_seed: int = 0,
                           image_weights=None):
     """Construct the flagship model and a fresh TrainState."""
+    cls = MVXNetPointFusion if cfg.point_fusion else MVXNet
     if with_images:
-        model = MVXNet(grid_shape=cfg.voxel_shape,
-                       image_size=cfg.image_size,
-                       anchors_per_loc=cfg.anchors_per_loc,
-                       swapped_bilerp=cfg.compat_swapped_bilerp)
+        model = cls(grid_shape=cfg.voxel_shape,
+                    image_size=cfg.image_size,
+                    anchors_per_loc=cfg.anchors_per_loc,
+                    swapped_bilerp=cfg.compat_swapped_bilerp)
     else:
         model = VoxelNetBranch(grid_shape=cfg.voxel_shape,
                                anchors_per_loc=cfg.anchors_per_loc)
@@ -125,9 +130,13 @@ def build_model_and_state(cfg: Config, with_images: bool,
     dummy_mask = jnp.zeros((1, V), bool)
     if with_images:
         dummy_img = jnp.zeros((1, *cfg.image_size, 3))
+        extra = ()
+        if cfg.point_fusion:
+            extra = (jnp.zeros((1, cfg.max_points, 6)),
+                     jnp.full((1, cfg.max_points), -1, jnp.int32))
         params = jax.jit(model.init)(
             jax.random.key(rng_seed), dummy_vox, dummy_coords, dummy_mask,
-            dummy_img)
+            dummy_img, *extra)
     else:
         params = jax.jit(model.init)(
             jax.random.key(rng_seed), dummy_vox, dummy_coords, dummy_mask)

@@ -29,6 +29,8 @@ class Batch(NamedTuple):
     gt_boxes: jnp.ndarray  # (B, G, 7)
     gt_mask: jnp.ndarray   # (B, G) bool
     gt_classes: jnp.ndarray = None  # (B, G) int32; None = all class 0
+    points: jnp.ndarray = None      # (B, P, 6) padded clouds (point fusion)
+    point_slots: jnp.ndarray = None  # (B, P) flat slot per point, -1 drop
 
 
 def frames_to_batch(points, num_points, images, gt_boxes, gt_mask,
@@ -60,7 +62,8 @@ def frames_to_batch(points, num_points, images, gt_boxes, gt_mask,
     return Batch(voxels=grids.features, coords=grids.coords,
                  vmask=grids.mask, images=images,
                  gt_boxes=gt_boxes, gt_mask=gt_mask,
-                 gt_classes=gt_classes)
+                 gt_classes=gt_classes, points=points,
+                 point_slots=grids.point_slots)
 
 
 def _assign_batch(batch: Batch, cfg: Config):
@@ -78,6 +81,10 @@ def _assign_batch(batch: Batch, cfg: Config):
 
 def _model_inputs(batch: Batch, with_images: bool):
     if with_images:
+        if batch.points is not None and batch.point_slots is not None:
+            # point-fusion fast path (models.MVXNetPointFusion)
+            return (batch.voxels, batch.coords, batch.vmask, batch.images,
+                    batch.points, batch.point_slots)
         return (batch.voxels, batch.coords, batch.vmask, batch.images)
     # LiDAR-only config: the branch consumes the 7 LiDAR channels
     # (reference SVFE cin=7 without the 16 image channels, SURVEY.md §7 M3)
