@@ -31,36 +31,59 @@ from mvxnet_makise_tpu.geometry.boxes import rotated_iou_3d
 
 
 def _match_frame(det_boxes: np.ndarray, det_scores: np.ndarray,
-                 gt_boxes: np.ndarray, iou_threshold: float
-                 ) -> Tuple[np.ndarray, int]:
-    """Greedy per-frame matching.  Returns (tp flags per det sorted by
-    score desc, num_gt)."""
+                 gt_boxes: np.ndarray, iou_threshold: float,
+                 gt_ignored: Optional[np.ndarray] = None
+                 ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Greedy per-frame matching (KITTI protocol).
+
+    ``gt_ignored`` marks GTs outside the current difficulty bucket: a
+    detection matching an ignored GT counts as neither TP nor FP.
+    Returns (tp flags, counted flags) per det sorted by score desc, and
+    the number of non-ignored GTs.
+    """
     order = np.argsort(-det_scores)
     det_boxes = det_boxes[order]
     n_det, n_gt = len(det_boxes), len(gt_boxes)
+    if gt_ignored is None:
+        gt_ignored = np.zeros(n_gt, dtype=bool)
     tp = np.zeros(n_det, dtype=bool)
+    counted = np.ones(n_det, dtype=bool)
+    num_gt = int((~gt_ignored).sum())
     if n_det == 0 or n_gt == 0:
-        return tp, n_gt
+        return tp, counted, num_gt
     iou = np.asarray(rotated_iou_3d(
         jnp.asarray(det_boxes), jnp.asarray(gt_boxes)))
     taken = np.zeros(n_gt, dtype=bool)
     for i in range(n_det):
-        j = int(np.argmax(np.where(taken, -1.0, iou[i])))
-        if not taken[j] and iou[i, j] >= iou_threshold:
+        # prefer a non-ignored match
+        cand = np.where(taken | gt_ignored, -1.0, iou[i])
+        j = int(np.argmax(cand))
+        if cand[j] >= iou_threshold:
             tp[i] = True
             taken[j] = True
-    return tp, n_gt
+            continue
+        # overlap only with an ignored GT: drop from the statistics
+        cand_ign = np.where(taken | ~gt_ignored, -1.0, iou[i])
+        k = int(np.argmax(cand_ign))
+        if cand_ign[k] >= iou_threshold:
+            counted[i] = False
+            taken[k] = True
+    return tp, counted, num_gt
 
 
 def average_precision_3d(detections: Sequence[Tuple[np.ndarray, np.ndarray]],
                          ground_truths: Sequence[np.ndarray],
                          iou_threshold: float = 0.7,
-                         num_recall_points: int = 40) -> Dict[str, float]:
+                         num_recall_points: int = 40,
+                         gt_ignored: Optional[Sequence[np.ndarray]] = None,
+                         ) -> Dict[str, float]:
     """AP over a set of frames.
 
     Args:
       detections: per frame (boxes (D, 7), scores (D,)).
       ground_truths: per frame GT boxes (G, 7).
+      gt_ignored: optional per-frame bool masks — GTs outside the current
+        difficulty bucket (matched dets count as neither TP nor FP).
 
     Returns dict with 'ap' (R40 by default), 'precision', 'recall' at the
     operating point, 'num_gt', 'num_det'.
@@ -68,11 +91,14 @@ def average_precision_3d(detections: Sequence[Tuple[np.ndarray, np.ndarray]],
     all_scores: List[np.ndarray] = []
     all_tp: List[np.ndarray] = []
     total_gt = 0
-    for (boxes, scores), gts in zip(detections, ground_truths):
-        tp, n_gt = _match_frame(boxes, scores, gts, iou_threshold)
+    for fi, ((boxes, scores), gts) in enumerate(
+            zip(detections, ground_truths)):
+        ign = gt_ignored[fi] if gt_ignored is not None else None
+        tp, counted, n_gt = _match_frame(boxes, scores, gts,
+                                         iou_threshold, ign)
         total_gt += n_gt
-        all_tp.append(tp)
-        all_scores.append(np.sort(scores)[::-1][:len(tp)])
+        all_tp.append(tp[counted])
+        all_scores.append(np.sort(scores)[::-1][:len(tp)][counted])
 
     if total_gt == 0:
         return {"ap": 0.0, "precision": 0.0, "recall": 0.0,

@@ -39,6 +39,13 @@ def scatter_voxels_to_grid(features: jnp.ndarray,
     V, C = features.shape
     flat = coords[:, 2] * (nx * ny) + coords[:, 0] * ny + coords[:, 1]
     flat = jnp.where(mask, flat, nx * ny * nz)
+    # voxel cells are unique by construction; presorting the (tiny) index
+    # vector lets XLA take the sorted+unique scatter fast path instead of
+    # the general conflict-resolving apply loop
+    order = jnp.argsort(flat)
+    flat = flat[order]
+    features = features[order]
     grid = jnp.zeros((nx * ny * nz + 1, C), features.dtype)
-    grid = grid.at[flat].set(features, mode="drop")
+    grid = grid.at[flat].set(features, mode="drop",
+                             indices_are_sorted=True, unique_indices=True)
     return grid[:-1].reshape(nz, nx, ny, C)

@@ -143,7 +143,10 @@ def voxelize(points: jnp.ndarray,
     keep = valid_s & (rank < T) & (seg_id >= 0) & (seg_id < max_voxels)
     flat_idx = jnp.where(keep, seg_id * T + rank, max_voxels * T)
 
-    # one scatter materializes the padded voxel buffer (+1 dump row)
+    # one scatter materializes the padded voxel buffer (+1 dump row).
+    # NB: the dump row is shared by all dropped points and interleaves
+    # with kept indices, so the sorted/unique scatter hints do NOT apply
+    # here (they do in ops/scatter.py where indices are presorted).
     buf = jnp.zeros((max_voxels * T + 1, points.shape[1]), points.dtype)
     buf = buf.at[flat_idx].set(points_s, mode="drop")
     samples = buf[:-1].reshape(max_voxels, T, points.shape[1])

@@ -53,23 +53,53 @@ def run_eval(cfg, frames, state_params, model, with_images: bool,
             s.astype(jnp.float32), r.astype(jnp.float32), anchors,
             score_threshold=score_threshold))(score, reg)
 
-    dets, gts = [], []
+    # accumulate detections and GTs per class
+    n_cls = cfg.num_classes
+    dets = {c: [] for c in range(n_cls)}
+    gts = {c: [] for c in range(n_cls)}
+    difficulties = {c: [] for c in range(n_cls)}
     rng = np.random.default_rng(0)
     for i in range(0, len(frames), batch_size):
         chunk = frames[i:i + batch_size]
+        if len(chunk) < batch_size:  # static-shape pipeline: pad the tail
+            chunk = list(chunk) + [chunk[-1]] * (batch_size - len(chunk))
+            real = len(frames) - i
+        else:
+            real = batch_size
         fas = [preprocess_train_frame(f, cfg, None, rng)[0] for f in chunk]
         pts = np.stack([f.points for f in fas])
         nps = np.asarray([f.num_points for f in fas], np.int32)
         imgs = np.stack([f.image for f in fas])
         decoded = jax.device_get(infer(state_params, pts, nps, imgs))
-        for b, frame in enumerate(chunk):
+        for b, frame in enumerate(chunk[:real]):
             v = decoded.valid[b]
-            dets.append((decoded.boxes[b][v], decoded.scores[b][v]))
-            g = [frame.boxes[c] for c in cfg.target_classes
-                 if c in frame.boxes and len(frame.boxes[c])]
-            gts.append(np.concatenate(g, axis=0) if g
-                       else np.zeros((0, 7), np.float32))
-    return average_precision_3d(dets, gts, iou_threshold=0.7)
+            dcls = decoded.classes[b][v]
+            for ci, cname in enumerate(cfg.target_classes):
+                sel = dcls == ci
+                dets[ci].append((decoded.boxes[b][v][sel],
+                                 decoded.scores[b][v][sel]))
+                g = frame.boxes.get(cname)
+                gts[ci].append(np.asarray(g, np.float32) if g is not None
+                               and len(g) else np.zeros((0, 7), np.float32))
+                d = frame.difficulty.get(cname)
+                difficulties[ci].append(
+                    np.asarray(d, np.int32) if d is not None and
+                    d is not None and len(gts[ci][-1]) == len(d)
+                    else np.full(len(gts[ci][-1]), 1, np.int32))
+
+    # KITTI per-class IoU thresholds: Car 0.7, smaller classes 0.5
+    results = {}
+    buckets = {"easy": 0, "moderate": 1, "hard": 2}
+    for ci, cname in enumerate(cfg.target_classes):
+        thr = 0.7 if cname == "Car" else 0.5
+        out = {"all": average_precision_3d(dets[ci], gts[ci],
+                                           iou_threshold=thr)}
+        for bname, dmax in buckets.items():
+            ignored = [~((d >= 0) & (d <= dmax)) for d in difficulties[ci]]
+            out[bname] = average_precision_3d(
+                dets[ci], gts[ci], iou_threshold=thr, gt_ignored=ignored)
+        results[cname] = out
+    return results
 
 
 def main(argv=None):
@@ -121,8 +151,11 @@ def main(argv=None):
 
     res = run_eval(cfg, frames, state.params, model, with_images,
                    score_threshold=args.score_threshold)
-    print({k: round(v, 4) if isinstance(v, float) else v
-           for k, v in res.items()})
+    for cname, buckets in res.items():
+        for bname, r in buckets.items():
+            print(f"{cname} {bname}: AP={r['ap']:.4f} "
+                  f"P={r['precision']:.4f} R={r['recall']:.4f} "
+                  f"gt={r['num_gt']} det={r['num_det']}")
     return 0
 
 

@@ -108,6 +108,21 @@ def test_ap_duplicate_detections_one_tp():
     np.testing.assert_allclose(res["precision"], 0.5)
 
 
+def test_ap_ignored_gts_neutral():
+    """Dets matching an ignored GT are neither TP nor FP (KITTI ignore
+    semantics for out-of-difficulty objects)."""
+    gt = [np.array([[10, 0, -1, 4, 2, 1.5, 0.0],
+                    [30, 5, -1, 4, 2, 1.5, 0.0]], np.float32)]
+    ignored = [np.array([False, True])]
+    # detect both
+    dets = [(gt[0].copy(), np.array([0.9, 0.8], np.float32))]
+    res = average_precision_3d(dets, gt, gt_ignored=ignored)
+    assert res["num_gt"] == 1          # only the counted GT
+    np.testing.assert_allclose(res["ap"], 1.0, atol=1e-6)
+    np.testing.assert_allclose(res["precision"], 1.0)  # no FP counted
+    assert res["num_det"] == 1         # ignored match dropped
+
+
 def test_evaluate_frames_batched(rng):
     anchors = jnp.asarray(create_anchors(
         CFG.feature_map_shape, CFG.velo_range, CFG.car_size))

@@ -84,9 +84,14 @@ def test_eval_path_runs(tmp_path):
     model, state = build_model_and_state(cfg, with_images=False)
     res = run_eval(cfg, frames, state.params, model, with_images=False,
                    score_threshold=0.05, batch_size=2)
-    assert set(res) >= {"ap", "precision", "recall", "num_gt"}
-    assert res["num_gt"] == 4
-    assert 0.0 <= res["ap"] <= 1.0
+    assert set(res) == {"Car"}
+    car = res["Car"]
+    assert set(car) == {"all", "easy", "moderate", "hard"}
+    assert car["all"]["num_gt"] == 4
+    # synthetic frames carry difficulty 1 -> excluded from "easy"
+    assert car["easy"]["num_gt"] == 0
+    assert car["moderate"]["num_gt"] == 4
+    assert 0.0 <= car["all"]["ap"] <= 1.0
 
 
 def test_preprocess_train_frame_no_augment(tmp_path):
