@@ -181,7 +181,6 @@ def train(cfg: Config,
 
     step = make_full_train_step(cfg, anchors, with_images)
     timer = PhaseTimer()
-    rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
 
     frames = list(frames)
@@ -191,14 +190,20 @@ def train(cfg: Config,
     for epoch in range(resume_epoch, resume_epoch + num_epochs):
         random.Random(cfg.seed + epoch).shuffle(frames)
         tracker = LossTracker()
-        augmenter = (SceneAugmenter(cfg, gt_db, rng=rng)
-                     if gt_db else None)
 
-        def prep(fr):
-            return preprocess_train_frame(fr, cfg, augmenter, rng)
+        def prep(args):
+            # a PRIVATE generator per frame: numpy Generators are not
+            # thread-safe, and per-frame seeding keeps the pipeline
+            # deterministic under any thread interleaving
+            idx, fr = args
+            frame_rng = np.random.default_rng(
+                np.random.SeedSequence([cfg.seed, epoch, idx]))
+            augmenter = (SceneAugmenter(cfg, gt_db, rng=frame_rng)
+                         if gt_db else None)
+            return preprocess_train_frame(fr, cfg, augmenter, frame_rng)
 
         with cf.ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
-            prepped = pool.map(prep, frames)
+            prepped = pool.map(prep, enumerate(frames))
             batch_buf: List[FrameArrays] = []
             it = 0
             for fa_cls in prepped:

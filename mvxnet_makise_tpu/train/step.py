@@ -123,7 +123,17 @@ def make_train_step(cfg: Config, anchors, with_images: bool = True):
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
-        metrics = dict(metrics, total_loss=loss)
+
+        # failure containment (SURVEY.md §5: the reference only excludes
+        # NaN losses from *statistics*, train.py:142-151; here a
+        # non-finite loss additionally skips the parameter update so one
+        # bad frame cannot poison the run)
+        finite = jnp.isfinite(loss)
+        new_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_state, state)
+        metrics = dict(metrics, total_loss=loss,
+                       skipped_nonfinite=(~finite).astype(jnp.int32))
         return new_state, metrics
 
     return train_step

@@ -1,0 +1,61 @@
+"""Config tests incl. loading a reference-format config.yml."""
+
+import numpy as np
+import pytest
+
+from mvxnet_makise_tpu.config import Config, load_config, parse_cli
+from mvxnet_makise_tpu.utils.logging import MetricsLogger
+
+
+def test_derived_fields_match_reference_math():
+    cfg = Config()
+    # Config.py:7 voxelsize derivation
+    np.testing.assert_allclose(cfg.voxel_size, (0.2, 0.2, 0.4), rtol=1e-6)
+    assert cfg.feature_map_shape == (176, 200)
+    assert cfg.eps == 1e-6
+    assert Config(use_bf16=True).eps == 1e-3  # Config.py:8-13 half branch
+
+
+def test_load_reference_yaml_keys(tmp_path):
+    """A reference-format config.yml (its key names) loads directly."""
+    p = tmp_path / "config.yml"
+    p.write_text(
+        "device: cuda\n"            # ignored (no torch devices here)
+        "half: False\n"             # ignored (bf16 flag covers it)
+        "velorange: [0.0, -40.0, -3.0, 70.4, 40.0, 1.0]\n"
+        "voxelshape: [352, 400, 10]\n"
+        "carsize: [3.9, 1.6, 1.56]\n"
+        "batchsize: 2\n"
+        "samplenum: 35\n"
+        "imsize: [370, 1224]\n")
+    cfg = load_config(str(p))
+    assert cfg.voxel_shape == (352, 400, 10)
+    assert cfg.samples_per_voxel == 35
+    assert cfg.batch_size == 2
+    assert cfg.image_size == (370, 1224)
+    np.testing.assert_allclose(cfg.voxel_size, (0.2, 0.2, 0.4), rtol=1e-6)
+
+
+def test_cli_mirrors_reference_surface():
+    cfg, args = parse_cli(["/data/kitti", "-n", "5", "-r", "3"])
+    assert cfg.data_root == "/data/kitti"
+    assert cfg.num_epochs == 5
+    assert args.resume == 3
+
+
+def test_config_hashable_for_jit():
+    cfg = Config()
+    assert hash(cfg) == hash(Config())
+    assert hash(cfg) != hash(cfg.replace(batch_size=4))
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    import json
+
+    path = str(tmp_path / "log" / "metrics.jsonl")
+    with MetricsLogger(path, echo=False) as log:
+        log.log(1, {"loss": 0.5, "num_pos": 3})
+        log.log(2, {"loss": np.float32(0.25)})
+    lines = [json.loads(line) for line in open(path)]
+    assert lines[0]["step"] == 1 and lines[0]["loss"] == 0.5
+    assert lines[1]["loss"] == 0.25

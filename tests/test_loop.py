@@ -106,6 +106,55 @@ def test_preprocess_train_frame_no_augment(tmp_path):
     assert np.all(gcls[fa.gt_mask] == 0)  # single-class config
 
 
+@pytest.mark.slow
+def test_train_loop_deterministic(tmp_path):
+    """Same seed -> identical loss trajectory (per-frame seeded RNGs make
+    the threaded prefetch pipeline deterministic)."""
+    cfg = small_cfg(tmp_path)
+    frames = make_frames(cfg, 4)
+
+    def losses_of(run_dir):
+        c = cfg.replace(checkpoint_dir=str(tmp_path / run_dir))
+        state = train(c, frames, with_images=False, num_epochs=1,
+                      log_every=100, workers=4)
+        return state
+
+    s1 = losses_of("a")
+    s2 = losses_of("b")
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nonfinite_update_guard(tmp_path):
+    """A batch that produces a non-finite loss must not move parameters."""
+    import jax.numpy as jnp
+
+    from mvxnet_makise_tpu.ops import create_anchors
+    from mvxnet_makise_tpu.train.step import Batch, make_train_step
+
+    cfg = small_cfg(tmp_path)
+    V, T = cfg.max_voxels, cfg.samples_per_voxel
+    B = 1
+    voxels = np.full((B, V, T, 9), np.nan, np.float32)  # poison
+    batch = Batch(
+        voxels=jnp.asarray(voxels),
+        coords=jnp.zeros((B, V, 3), jnp.int32),
+        vmask=jnp.ones((B, V), bool),
+        images=jnp.zeros((B, 1, 1, 3)),
+        gt_boxes=jnp.zeros((B, cfg.max_boxes, 7)),
+        gt_mask=jnp.zeros((B, cfg.max_boxes), bool))
+    _, state = build_model_and_state(cfg, with_images=False)
+    anchors = create_anchors(cfg.feature_map_shape, cfg.velo_range,
+                             cfg.anchor_sizes)
+    step = jax.jit(make_train_step(cfg, anchors, with_images=False))
+    new_state, metrics = step(state, batch)
+    assert int(metrics["skipped_nonfinite"]) == 1
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.step) == int(state.step)
+
+
 def test_loss_tracker_nan_filtering():
     t = LossTracker()
     t.update({"cls_loss": 1.0})
