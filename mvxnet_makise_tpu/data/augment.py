@@ -124,7 +124,8 @@ class SceneAugmenter:
 
         zmax = ground_height_grid(points, self.cfg.velo_range)
         iof_thr = float(self.rng.choice(IOF_THRESHOLDS))
-        image = image.copy()
+        # image may be None in LiDAR-only training: skip pixel pasting
+        image = image.copy() if image is not None else None
         pasted = []
         for _ in range(need):
             gt, gt_bev = self._locate(zmax, scene_bevs, scene_b2d,
@@ -139,6 +140,8 @@ class SceneAugmenter:
             scene_b3d = np.concatenate(
                 [scene_b3d, gt["bbox3d"][None]], axis=0)
 
+            if image is None:
+                continue
             # composite the masked patch (Augment.py:84-89)
             mb = gt["maskbbox"]
             mask = gt["mask"].astype(np.uint8)

@@ -26,4 +26,5 @@ from mvxnet_makise_tpu.models.image_head import (  # noqa: F401
 from mvxnet_makise_tpu.models.mvxnet import (  # noqa: F401
     MVXNet,
     MVXNetPointFusion,
+    MVXNetVoxelFusion,
 )

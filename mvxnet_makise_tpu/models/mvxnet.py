@@ -19,8 +19,21 @@ import jax.numpy as jnp
 
 import jax
 
-from mvxnet_makise_tpu.models.image_head import ImageHead, PointImageHead
-from mvxnet_makise_tpu.models.voxelnet import VoxelNetBranch
+from mvxnet_makise_tpu.models.blocks import DenseReluNorm
+from mvxnet_makise_tpu.models.image_head import (
+    ImageHead,
+    PointImageHead,
+    detection_transform,
+)
+from mvxnet_makise_tpu.models.resnet_fpn import ResNet50FPN
+from mvxnet_makise_tpu.models.voxelnet import (
+    RPN,
+    SVFE,
+    MiddleConvLayers,
+    VoxelNetBranch,
+)
+from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn
+from mvxnet_makise_tpu.ops.scatter import scatter_voxels_to_grid
 
 
 class MVXNet(nn.Module):
@@ -110,3 +123,66 @@ class MVXNetPointFusion(nn.Module):
         return VoxelNetBranch(
             self.grid_shape, self.anchors_per_loc, self.box_dim, self.eps,
             name="backbone")(fused, coords, mask)
+
+
+class MVXNetVoxelFusion(nn.Module):
+    """MVX-Net *VoxelFusion* — the paper's second fusion variant.
+
+    The reference implements only PointFusion; the MVX-Net paper also
+    describes fusing image features at the *voxel* level: encode voxels
+    from LiDAR alone, then append one image feature per voxel, gathered
+    at the voxel's mean image projection.  On TPU this costs just
+    max_voxels (~12k) gathers + a 12k-row fusion MLP — an order of
+    magnitude below even the per-point path — at some loss of
+    granularity.  A framework extension (no reference counterpart to
+    cite); offered as a cheaper model-family member.
+    """
+    grid_shape: Sequence[int] = (352, 400, 10)
+    image_size: Tuple[int, int] = (370, 1224)
+    anchors_per_loc: int = 2
+    box_dim: int = 7
+    eps: float = 1e-6
+    voxel_image_dim: int = 32
+
+    @nn.compact
+    def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
+                 mask: jnp.ndarray,
+                 images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """voxels: (B, V, T, 9); coords: (B, V, 3); mask: (B, V);
+        images: (B, H, W, 3)."""
+        B, V, T, _ = voxels.shape
+
+        # LiDAR-only voxel encoding (SVFE stack on the 7 point channels)
+        x = SVFE(self.eps, name="svfe")(voxels[..., :7], mask)
+        x = DenseReluNorm(128, self.eps, name="fcn")(
+            x, mask[..., None] & jnp.ones((T,), bool))
+        x = jnp.max(x, axis=-2)                            # (B, V, 128)
+
+        # per-voxel image feature at the mean projection of its points
+        slot_valid = jnp.any(voxels[..., 0:3] != 0, axis=-1)  # (B, V, T)
+        cnt = jnp.maximum(jnp.sum(slot_valid, axis=-1), 1)
+        rc = jnp.sum(voxels[..., 7:9] * slot_valid[..., None],
+                     axis=-2) / cnt[..., None]             # (B, V, 2)
+
+        timg = jax.vmap(detection_transform)(images)
+        pyramid = ResNet50FPN(name="extractor")(timg)
+        gathered = jax.vmap(
+            lambda feats, r, ok: bilinear_gather_fpn(
+                feats, r, ok, self.image_size, eps=self.eps)
+        )(pyramid, rc, mask)                               # (B, V, 768)
+        imf = DenseReluNorm(128, self.eps, name="imfuse1")(gathered, mask)
+        imf = DenseReluNorm(self.voxel_image_dim, self.eps,
+                            name="imfuse2")(imf, mask)
+
+        fused = jnp.concatenate([x, imf], axis=-1)
+        fused = DenseReluNorm(128, self.eps, name="mix")(fused, mask)
+        fused = jnp.where(mask[..., None], fused, 0.0)
+
+        dense = jax.vmap(
+            lambda f, c, m: scatter_voxels_to_grid(
+                f, c, m, self.grid_shape))(fused, coords, mask)
+        y = MiddleConvLayers(self.eps, name="cml")(dense)
+        Bd, D, H, W, C = y.shape
+        y = jnp.transpose(y, (0, 2, 3, 4, 1)).reshape(Bd, H, W, C * D)
+        return RPN(self.anchors_per_loc, self.box_dim, self.eps,
+                   name="rpn")(y)

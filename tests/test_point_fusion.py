@@ -116,3 +116,29 @@ def test_point_fusion_gradients(rng):
     fusion_grads = jax.tree.leaves(grads["params"]["head"]["fusion"])
     assert all(np.all(np.isfinite(np.asarray(x))) for x in fusion_grads)
     assert any(np.any(np.asarray(x) != 0) for x in fusion_grads)
+
+
+@pytest.mark.slow
+def test_voxel_fusion_variant(rng):
+    """MVXNetVoxelFusion (paper's second fusion mode) runs end to end."""
+    from mvxnet_makise_tpu.models import MVXNetVoxelFusion
+
+    pts, nums, imgs = make_scene(rng)
+    g = voxelize_batch(pts, nums)
+    model = MVXNetVoxelFusion(grid_shape=CFG.voxel_shape,
+                              image_size=CFG.image_size)
+    args = (g.features, g.coords, g.mask, imgs)
+    params = model.init(jax.random.key(0), *args)
+    score, reg = model.apply(params, *args)
+    assert score.shape == (1, 8, 8, 2)
+    assert reg.shape == (1, 8, 8, 14)
+    s = np.asarray(score)
+    assert np.all(np.isfinite(s)) and np.all((s >= 0) & (s <= 1))
+
+    def loss(p):
+        sc, rg = model.apply(p, *args)
+        return jnp.sum(sc) + jnp.sum(rg ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree.leaves(grads))
