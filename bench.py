@@ -24,7 +24,23 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--lidar-only", action="store_true")
+    ap.add_argument("--max-seconds", type=int, default=1500,
+                    help="watchdog: emit an error JSON instead of hanging "
+                         "forever if the device link wedges")
     args = ap.parse_args()
+
+    import signal
+
+    def _watchdog(signum, frame):
+        print(json.dumps({
+            "metric": "kitti_frames_per_sec_per_chip",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {args.max_seconds}s "
+                     "(device link stalled)"}), flush=True)
+        raise SystemExit(2)
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(args.max_seconds)
 
     import jax
     import jax.numpy as jnp

@@ -95,6 +95,11 @@ class Config:
     # mesh axis sizes (data, model); (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
 
+    # rematerialize the CML 3D-conv stack in backward (jax.checkpoint):
+    # trades one extra forward for the ~720 MB/frame dense-grid
+    # activations; enable for large batches
+    remat: bool = False
+
     # use the per-point image-fusion fast path (MVXNetPointFusion):
     # numerically equivalent to the slot-based reference dataflow at a
     # fraction of the gather/MLP work; disable only for debugging

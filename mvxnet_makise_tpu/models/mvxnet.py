@@ -43,6 +43,7 @@ class MVXNet(nn.Module):
     box_dim: int = 7
     eps: float = 1e-6
     swapped_bilerp: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -65,7 +66,7 @@ class MVXNet(nn.Module):
         fused = jnp.concatenate([voxels[..., :7], imfeat], axis=-1)
         return VoxelNetBranch(
             self.grid_shape, self.anchors_per_loc, self.box_dim, self.eps,
-            name="backbone")(fused, coords, mask)
+            self.remat, name="backbone")(fused, coords, mask)
 
 
 class MVXNetPointFusion(nn.Module):
@@ -84,6 +85,7 @@ class MVXNetPointFusion(nn.Module):
     box_dim: int = 7
     eps: float = 1e-6
     swapped_bilerp: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -122,7 +124,7 @@ class MVXNetPointFusion(nn.Module):
         fused = jnp.concatenate([voxels[..., :7], imfeat], axis=-1)
         return VoxelNetBranch(
             self.grid_shape, self.anchors_per_loc, self.box_dim, self.eps,
-            name="backbone")(fused, coords, mask)
+            self.remat, name="backbone")(fused, coords, mask)
 
 
 class MVXNetVoxelFusion(nn.Module):

@@ -128,11 +128,18 @@ class VoxelNetBranch(nn.Module):
 
     Input voxel features may be the 7 LiDAR channels (VoxelNet-only
     config) or 7 + 16 fused image channels (full MVXNet).
+
+    ``remat=True`` rematerializes the CML stack in the backward pass
+    (jax.checkpoint): the dense (D, H, W, 128) activations are the
+    dominant training-memory term (~720 MB/frame in f32), and trading
+    one extra forward for them roughly halves peak HBM at batch > 1 —
+    no reference counterpart (it trains batch-1 only).
     """
     grid_shape: Sequence[int] = (352, 400, 10)   # (nx, ny, nz)
     anchors_per_loc: int = 2
     box_dim: int = 7
     eps: float = 1e-6
+    remat: bool = False
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -152,7 +159,9 @@ class VoxelNetBranch(nn.Module):
             lambda f, c, m: scatter_voxels_to_grid(
                 f, c, m, self.grid_shape))(x, coords, mask)
         # (B, D, H, W, 128)
-        x = MiddleConvLayers(self.eps, name="cml")(dense)       # (B,2,H,W,64)
+        cml_cls = nn.remat(MiddleConvLayers) if self.remat \
+            else MiddleConvLayers
+        x = cml_cls(self.eps, name="cml")(dense)                # (B,2,H,W,64)
         B, D, H, W, C = x.shape
         # fold depth into channels with torch's (C, D) flattening order
         # (reference VoxelNet.py:36 reshapes NCDHW -> N,C*D,H,W), so

@@ -119,10 +119,12 @@ def build_model_and_state(cfg: Config, with_images: bool,
         model = cls(grid_shape=cfg.voxel_shape,
                     image_size=cfg.image_size,
                     anchors_per_loc=cfg.anchors_per_loc,
-                    swapped_bilerp=cfg.compat_swapped_bilerp)
+                    swapped_bilerp=cfg.compat_swapped_bilerp,
+                    remat=cfg.remat)
     else:
         model = VoxelNetBranch(grid_shape=cfg.voxel_shape,
-                               anchors_per_loc=cfg.anchors_per_loc)
+                               anchors_per_loc=cfg.anchors_per_loc,
+                               remat=cfg.remat)
 
     V, T = cfg.max_voxels, cfg.samples_per_voxel
     dummy_vox = jnp.zeros((1, V, T, 9 if with_images else 7))

@@ -381,3 +381,29 @@ def test_mvxnet_tiny_end_to_end(rng):
     assert reg.shape == (B, 8, 8, 14)
     assert np.all(np.isfinite(np.asarray(score)))
     assert np.all(np.isfinite(np.asarray(reg)))
+
+
+def test_voxelnet_remat_matches_plain(rng):
+    """remat=True must be numerically identical (same params tree)."""
+    plain = VoxelNetBranch(grid_shape=SMALL_GRID)
+    remat = VoxelNetBranch(grid_shape=SMALL_GRID, remat=True)
+    voxels, coords, mask = _small_inputs(rng)
+    params = plain.init(jax.random.key(0), voxels, coords, mask)
+    s1, r1 = plain.apply(params, voxels, coords, mask)
+    s2, r2 = remat.apply(params, voxels, coords, mask)
+    # remat recomputation reassociates float ops; the stacked norms
+    # amplify that, so check correlation + a small absolute bound
+    s1, s2 = np.asarray(s1), np.asarray(s2)
+    assert np.corrcoef(s1.ravel(), s2.ravel())[0, 1] > 0.9999
+    assert np.max(np.abs(s1 - s2)) < 5e-3
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-2)
+
+    g1 = jax.grad(lambda p: jnp.sum(
+        plain.apply(p, voxels, coords, mask)[0]))(params)
+    g2 = jax.grad(lambda p: jnp.sum(
+        remat.apply(p, voxels, coords, mask)[0]))(params)
+    flat1 = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(g1)])
+    flat2 = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(g2)])
+    assert np.corrcoef(flat1, flat2)[0, 1] > 0.99
