@@ -114,6 +114,115 @@ def import_reference_checkpoint(state_dict: Dict[str, Any],
     return {"params": {"head": head, "backbone": backbone}}
 
 
+def export_reference_checkpoint(params: Dict[str, Any],
+                                with_images: bool = True
+                                ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_reference_checkpoint`: our Flax params ->
+    a reference-layout torch ``state_dict`` (numpy values; pass through
+    ``torch.save({k: torch.from_numpy(v) ...})`` to write a file the
+    reference's ``load_state_dict`` accepts).
+
+    The frozen extractor's folded norms export as BatchNorm stats with
+    ``running_mean=0, running_var=1-eps`` and ``weight=scale,
+    bias=bias`` — numerically identical in eval mode.
+    """
+    p = params["params"] if "params" in params else params
+    sd: Dict[str, np.ndarray] = {}
+
+    def dense(key, tree):
+        sd[key + ".weight"] = np.ascontiguousarray(
+            np.asarray(tree["kernel"]).T)
+        sd[key + ".bias"] = np.asarray(tree["bias"])
+
+    def dense_to_1x1conv(key, tree):
+        k = np.asarray(tree["kernel"])              # (in, out)
+        sd[key + ".weight"] = np.ascontiguousarray(
+            k.T[:, :, None, None])
+        sd[key + ".bias"] = np.asarray(tree["bias"])
+
+    def conv2d(key, tree):
+        k = np.asarray(tree["kernel"])              # HWIO
+        sd[key + ".weight"] = np.ascontiguousarray(
+            np.transpose(k, (3, 2, 0, 1)))
+        if "bias" in tree:
+            sd[key + ".bias"] = np.asarray(tree["bias"])
+
+    def conv3d(key, tree):
+        k = np.asarray(tree["kernel"])              # DHWIO
+        sd[key + ".weight"] = np.ascontiguousarray(
+            np.transpose(k, (4, 3, 0, 1, 2)))
+        sd[key + ".bias"] = np.asarray(tree["bias"])
+
+    def deconv2d(key, tree):
+        k = np.asarray(tree["kernel"])[::-1, ::-1]  # un-flip spatial
+        sd[key + ".weight"] = np.ascontiguousarray(
+            np.transpose(k, (2, 3, 0, 1)))          # -> (in, out, kh, kw)
+        sd[key + ".bias"] = np.asarray(tree["bias"])
+
+    def folded_bn(key, tree):
+        scale = np.asarray(tree["scale"])
+        sd[key + ".weight"] = scale
+        sd[key + ".bias"] = np.asarray(tree["bias"])
+        sd[key + ".running_mean"] = np.zeros_like(scale)
+        # torch BN eval divides by sqrt(var + 1e-5)
+        sd[key + ".running_var"] = np.full_like(scale, 1.0 - 1e-5)
+        sd[key + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    bb = p["backbone"] if with_images else p
+    dense("backbone.svfe.vfe1.fcn.fc", bb["svfe"]["vfe1"]["fcn"]["fc"])
+    dense("backbone.svfe.vfe2.fcn.fc", bb["svfe"]["vfe2"]["fcn"]["fc"])
+    dense("backbone.fcn.fc", bb["fcn"]["fc"])
+    for c in ("conv1", "conv2", "conv3"):
+        conv3d(f"backbone.cml.{c}.conv", bb["cml"][c]["conv"])
+    rpn = bb["rpn"]
+    for b, extras in [(1, 3), (2, 5), (3, 5)]:
+        conv2d(f"backbone.rpn.blk{b}.0.conv", rpn[f"blk{b}_down"]["conv"])
+        for j in range(extras):
+            conv2d(f"backbone.rpn.blk{b}.{j + 1}.conv",
+                   rpn[f"blk{b}_conv{j}"]["conv"])
+    for d in range(1, 4):
+        deconv2d(f"backbone.rpn.deconv{d}.deconv",
+                 rpn[f"deconv{d}"]["deconv"])
+    conv2d("backbone.rpn.cls", rpn["cls"])
+    conv2d("backbone.rpn.reg", rpn["reg"])
+
+    if not with_images:
+        return sd
+
+    fus = p["head"]["fusion"]
+    dense("head.fusion.fcn1.fc", fus["fcn1"]["fc"])
+    dense_to_1x1conv("head.fusion.conv1.conv", fus["conv1"]["fc"])
+    dense("head.fusion.fcn2.fc", fus["fcn2"]["fc"])
+    dense_to_1x1conv("head.fusion.conv2.conv", fus["conv2"]["fc"])
+    dense("head.fusion.fcn3.fc", fus["fcn3"]["fc"])
+
+    ext = p["head"]["extractor"]
+    pre = "head.extractor.backbone."
+    conv2d(pre + "body.conv1", ext["conv1"])
+    folded_bn(pre + "body.bn1", ext["bn1"])
+    for li, blocks in enumerate((3, 4, 6, 3)):
+        for bi in range(blocks):
+            blk = ext[f"layer{li + 1}_{bi}"]
+            t = pre + f"body.layer{li + 1}.{bi}"
+            for c in ("conv1", "conv2", "conv3"):
+                conv2d(f"{t}.{c}", blk[c])
+            for b in ("bn1", "bn2", "bn3"):
+                folded_bn(f"{t}.{b}", blk[b])
+            if bi == 0:
+                conv2d(t + ".downsample.0", blk["down_conv"])
+                folded_bn(t + ".downsample.1", blk["down_bn"])
+    for li in range(4):
+        if f"fpn_inner{li}" in ext:
+            conv2d(pre + f"fpn.inner_blocks.{li}.0", ext[f"fpn_inner{li}"])
+            folded_bn(pre + f"fpn.inner_blocks.{li}.1",
+                      ext[f"fpn_inner_bn{li}"])
+        if f"fpn_layer{li}" in ext:
+            conv2d(pre + f"fpn.layer_blocks.{li}.0", ext[f"fpn_layer{li}"])
+            folded_bn(pre + f"fpn.layer_blocks.{li}.1",
+                      ext[f"fpn_layer_bn{li}"])
+    return sd
+
+
 def _import_rpn(sd):
     rpn: Dict[str, Any] = {}
     # blk{i}.0 is the stride-2 down conv; blk{i}.{j>=1} the extras
