@@ -100,10 +100,14 @@ class Config:
     # activations; enable for large batches
     remat: bool = False
 
-    # use the per-point image-fusion fast path (MVXNetPointFusion):
-    # numerically equivalent to the slot-based reference dataflow at a
-    # fraction of the gather/MLP work; disable only for debugging
-    point_fusion: bool = True
+    # fusion dataflow for the image branch:
+    #   "point" - MVXNetPointFusion fast path (default; numerically
+    #             equivalent to the reference's slot-grid dataflow at a
+    #             fraction of the gather/MLP work)
+    #   "slot"  - MVXNet, the reference's per-sample-slot dataflow
+    #   "voxel" - MVXNetVoxelFusion, the MVX-Net paper's cheaper
+    #             voxel-level variant
+    fusion_mode: str = "point"
 
     # ---- compat knobs ----
     # the reference's bilinear gather swaps the interpolation weights vs the
@@ -143,6 +147,10 @@ class Config:
             self, "class_pos_thresholds", tuple(t[1] for t in thr))
 
     # -- convenience --
+    @property
+    def point_fusion(self) -> bool:
+        return self.fusion_mode == "point"
+
     @property
     def num_classes(self) -> int:
         return len(self.target_classes)

@@ -1,0 +1,68 @@
+"""Host-pipeline micro-benchmarks (CPU): native C++ vs numpy feed path.
+
+Measures the per-frame host work that runs every training/inference
+step: fused range+frustum crop + projection (+ shuffle + pad).  The
+reference spends this time in numba JIT kernels and a C++ extension per
+sample (SURVEY.md §3.2); these numbers document our host budget.
+
+Usage: python -m mvxnet_makise_tpu.tools.bench_host [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--points", type=int, default=120000,
+                   help="raw scan size (KITTI full scans are ~120k)")
+    args = p.parse_args(argv)
+
+    from mvxnet_makise_tpu.config import Config
+    from mvxnet_makise_tpu.data import native
+    from mvxnet_makise_tpu.data.synthetic import toy_calib
+
+    cfg = Config()
+    rng = np.random.default_rng(0)
+    pts = np.zeros((args.points, 4), np.float32)
+    pts[:, 0] = rng.uniform(-10, 80, args.points)
+    pts[:, 1] = rng.uniform(-50, 50, args.points)
+    pts[:, 2] = rng.uniform(-4, 2, args.points)
+    pts[:, 3] = rng.uniform(0, 1, args.points)
+    calib = toy_calib(cfg.image_size)
+
+    def timeit(fn):
+        fn()  # warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            fn()
+        return (time.perf_counter() - t0) / args.iters
+
+    if native.available():
+        dt = timeit(lambda: native.crop_project(
+            pts, calib, cfg.velo_range, cfg.image_size))
+        print(json.dumps({"bench": "crop_project_native",
+                          "ms": round(dt * 1e3, 3),
+                          "Mpts_per_s": round(args.points / dt / 1e6, 1)}))
+        dt = timeit(lambda: native.assemble_frame(
+            pts, calib, cfg.velo_range, cfg.image_size,
+            cfg.max_points, seed=0))
+        print(json.dumps({"bench": "assemble_frame_native",
+                          "ms": round(dt * 1e3, 3),
+                          "Mpts_per_s": round(args.points / dt / 1e6, 1)}))
+    dt = timeit(lambda: native.crop_project_numpy(
+        pts, calib, cfg.velo_range, cfg.image_size))
+    print(json.dumps({"bench": "crop_project_numpy",
+                      "ms": round(dt * 1e3, 3),
+                      "Mpts_per_s": round(args.points / dt / 1e6, 1)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

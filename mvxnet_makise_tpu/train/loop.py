@@ -37,6 +37,7 @@ from mvxnet_makise_tpu.geometry.calib import lidar_to_image
 from mvxnet_makise_tpu.models import (
     MVXNet,
     MVXNetPointFusion,
+    MVXNetVoxelFusion,
     VoxelNetBranch,
 )
 from mvxnet_makise_tpu.ops import create_anchors
@@ -114,13 +115,16 @@ def build_model_and_state(cfg: Config, with_images: bool,
                           rng_seed: int = 0,
                           image_weights=None):
     """Construct the flagship model and a fresh TrainState."""
-    cls = MVXNetPointFusion if cfg.point_fusion else MVXNet
+    cls = {"point": MVXNetPointFusion, "slot": MVXNet,
+           "voxel": MVXNetVoxelFusion}[cfg.fusion_mode]
     if with_images:
-        model = cls(grid_shape=cfg.voxel_shape,
-                    image_size=cfg.image_size,
-                    anchors_per_loc=cfg.anchors_per_loc,
-                    swapped_bilerp=cfg.compat_swapped_bilerp,
-                    remat=cfg.remat)
+        kw = dict(grid_shape=cfg.voxel_shape,
+                  image_size=cfg.image_size,
+                  anchors_per_loc=cfg.anchors_per_loc)
+        if cfg.fusion_mode != "voxel":
+            kw.update(swapped_bilerp=cfg.compat_swapped_bilerp,
+                      remat=cfg.remat)
+        model = cls(**kw)
     else:
         model = VoxelNetBranch(grid_shape=cfg.voxel_shape,
                                anchors_per_loc=cfg.anchors_per_loc,
