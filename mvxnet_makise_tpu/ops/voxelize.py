@@ -141,22 +141,25 @@ def voxelize(points: jnp.ndarray,
     rank = pos - seg_start
 
     keep = valid_s & (rank < T) & (seg_id >= 0) & (seg_id < max_voxels)
-    flat_idx = jnp.where(keep, seg_id * T + rank, max_voxels * T)
+    # dropped rows get a private slot in a dump region past the buffer so
+    # every index is unique -> XLA skips scatter conflict resolution
+    flat_idx = jnp.where(keep, seg_id * T + rank, max_voxels * T + pos)
 
-    # one scatter materializes the padded voxel buffer (+1 dump row).
-    # NB: the dump row is shared by all dropped points and interleaves
-    # with kept indices, so the sorted/unique scatter hints do NOT apply
-    # here (they do in ops/scatter.py where indices are presorted).
-    buf = jnp.zeros((max_voxels * T + 1, points.shape[1]), points.dtype)
-    buf = buf.at[flat_idx].set(points_s, mode="drop")
-    samples = buf[:-1].reshape(max_voxels, T, points.shape[1])
+    buf = jnp.zeros((max_voxels * T + P, points.shape[1]), points.dtype)
+    buf = buf.at[flat_idx].set(points_s, mode="drop",
+                               unique_indices=True)
+    samples = buf[:max_voxels * T].reshape(max_voxels, T, points.shape[1])
 
-    counts = jnp.zeros((max_voxels + 1,), jnp.int32).at[
-        jnp.where(keep, seg_id, max_voxels)].add(1, mode="drop")[:-1]
+    # seg_id ascends along the sorted point order -> sorted segment sum
+    counts = jax.ops.segment_sum(
+        keep.astype(jnp.int32), jnp.where(seg_id >= 0, seg_id, max_voxels),
+        num_segments=max_voxels + 1, indices_are_sorted=True)[:-1]
 
+    # non-source rows share the dump slot (duplicates), so no unique hint
+    coord_src = new_seg & (seg_id < max_voxels) & (seg_id >= 0)
     coord_buf = jnp.full((max_voxels + 1,), -1, jnp.int32).at[
-        jnp.where(new_seg & (seg_id < max_voxels) & (seg_id >= 0),
-                  seg_id, max_voxels)].set(linear_s, mode="drop")[:-1]
+        jnp.where(coord_src, seg_id, max_voxels)].set(
+        linear_s, mode="drop")[:-1]
     coords = jnp.stack([
         coord_buf // (ny * nz),
         (coord_buf // nz) % ny,
@@ -185,7 +188,8 @@ def voxelize(points: jnp.ndarray,
     else:
         orig_rows = order
     point_slots = jnp.full((P,), -1, jnp.int32).at[orig_rows].set(
-        jnp.where(keep, (seg_id * T + rank).astype(jnp.int32), -1))
+        jnp.where(keep, (seg_id * T + rank).astype(jnp.int32), -1),
+        unique_indices=True)
     num_kept = jnp.sum(keep).astype(jnp.int32)
 
     return VoxelGrid(features=feats, coords=coords, counts=counts,

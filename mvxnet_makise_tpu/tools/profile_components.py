@@ -1,0 +1,110 @@
+"""Per-component wall-clock profile of the inference pipeline.
+
+Times each stage in isolation (separate jits, forced host-readback sync)
+on the attached accelerator — the decomposition the reference kept as
+forward/loss/backward counters (train.py:74-77), extended to the stages
+that actually matter here.
+
+Usage: python -m mvxnet_makise_tpu.tools.profile_components [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=8)
+    args = p.parse_args(argv)
+    B = args.batch
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mvxnet_makise_tpu.config import Config
+    from mvxnet_makise_tpu.data.pipeline import collate, preprocess_frame
+    from mvxnet_makise_tpu.data.synthetic import synthetic_frame
+    from mvxnet_makise_tpu.models import MVXNetPointFusion, VoxelNetBranch
+    from mvxnet_makise_tpu.models.image_head import (
+        PointImageHead, detection_transform)
+    from mvxnet_makise_tpu.models.resnet_fpn import ResNet50FPN
+    from mvxnet_makise_tpu.train.state import cast_for_compute
+    from mvxnet_makise_tpu.train.step import frames_to_batch
+
+    cfg = Config(use_bf16=True, batch_size=B)
+    rng = np.random.default_rng(0)
+    frames = [preprocess_frame(*synthetic_frame(rng, cfg), cfg)
+              for _ in range(B)]
+    fb = collate(frames)
+    points = jnp.asarray(fb.points)
+    nums = jnp.asarray(fb.num_points)
+    images = jnp.asarray(fb.image)
+
+    def sync(x):
+        return float(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        sync(out)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn()
+        sync(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({"stage": name, "ms_per_batch": round(dt * 1e3, 2),
+                          "ms_per_frame": round(dt * 1e3 / B, 3),
+                          "compile_s": round(compile_s, 1)}), flush=True)
+
+    zero_gt = (jnp.zeros((B, 1, 7)), jnp.zeros((B, 1), bool))
+    bench("voxelize", jax.jit(
+        lambda: frames_to_batch(points, nums, images, *zero_gt,
+                                cfg).voxels))
+
+    batch = frames_to_batch(points, nums, images, *zero_gt, cfg)
+    jax.block_until_ready(batch.voxels)
+    model = MVXNetPointFusion(grid_shape=cfg.voxel_shape,
+                              image_size=cfg.image_size)
+    params = jax.jit(model.init)(
+        jax.random.key(0), batch.voxels, batch.coords, batch.vmask,
+        images, points, batch.point_slots)
+    cparams = cast_for_compute(params, True)
+    bvox = batch.voxels.astype(jnp.bfloat16)
+    bimg = images.astype(jnp.bfloat16)
+    bpts = points.astype(jnp.bfloat16)
+
+    rp = cast_for_compute(
+        {"params": params["params"]["head"]["extractor"]}, True)
+    bench("resnet_fpn", jax.jit(
+        lambda: ResNet50FPN().apply(
+            rp, jax.vmap(detection_transform)(bimg))[0]))
+
+    hp = cast_for_compute({"params": params["params"]["head"]}, True)
+    head = PointImageHead(cfg.image_size)
+    kept = batch.point_slots >= 0
+    nv = jnp.sum(batch.vmask) * cfg.samples_per_voxel - jnp.sum(kept)
+    bench("image_head_total", jax.jit(
+        lambda: head.apply(hp, bimg, bpts[..., 4:6], kept, nv)[0]))
+
+    vb = VoxelNetBranch(grid_shape=cfg.voxel_shape)
+    fused = jnp.concatenate(
+        [bvox[..., :7], jnp.zeros((*bvox.shape[:3], 16), jnp.bfloat16)],
+        -1)
+    vbp = cast_for_compute({"params": params["params"]["backbone"]}, True)
+    bench("voxelnet_branch", jax.jit(
+        lambda: vb.apply(vbp, fused, batch.coords, batch.vmask)[0]))
+
+    bench("full_model", jax.jit(
+        lambda: model.apply(cparams, bvox, batch.coords, batch.vmask,
+                            bimg, bpts, batch.point_slots)[0]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
