@@ -33,6 +33,7 @@ from mvxnet_makise_tpu.models.blocks import (
     ConvReluNorm,
     DeconvReluNorm,
     DenseReluNorm,
+    standardize,
 )
 from mvxnet_makise_tpu.ops.scatter import scatter_voxels_to_grid
 
@@ -65,14 +66,83 @@ class SVFE(nn.Module):
         return x
 
 
-class MiddleConvLayers(nn.Module):
-    """Dense 3D conv stack compressing depth 10 -> 2
-    (reference CML, Pipe.py:31-43)."""
+class _Conv3DParams(nn.Module):
+    """Parameter holder with the (kd, kh, kw, in, out) layout of a Flax
+    3D conv — kept separate so the depth-folded compute path below shares
+    the exact parameter tree (and reference-checkpoint import) of the
+    naive 3D formulation."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 3, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class Conv3DFoldedReluNorm(nn.Module):
+    """3D conv (k=3, spatial stride 1/pad 1) computed as ONE 2D conv.
+
+    TPU motivation: XLA maps small-depth 3D convolutions onto the MXU
+    poorly (measured ~5x off roofline on v5e for the CML stack).  A 3D
+    convolution is exactly a 2D convolution over inputs whose depth taps
+    are folded into channels: build (B*D_out, H, W, 3C) by stacking the
+    three depth taps, reshape the kernel (3,3,3,I,O) -> (3,3,3I,O), run
+    one large NHWC conv.  Identical math, same parameter tree.
+    """
+    features: int
+    stride_d: int
+    pad_d: int
     eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, D, H, W, C = x.shape
+        kernel, bias = _Conv3DParams(self.features, C, name="conv")()
+        d_out = (D + 2 * self.pad_d - 3) // self.stride_d + 1
+        xp = jnp.pad(x, ((0, 0), (self.pad_d, self.pad_d),
+                         (0, 0), (0, 0), (0, 0)))
+        starts = jnp.arange(d_out) * self.stride_d
+        # (B, d_out, H, W, 3C): depth taps folded into channels (kd-major)
+        taps = jnp.concatenate(
+            [xp[:, starts + kd] for kd in range(3)], axis=-1)
+        k2d = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
+            3, 3, 3 * C, self.features)
+        y = jax.lax.conv_general_dilated(
+            taps.reshape(B * d_out, H, W, 3 * C), k2d,
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + bias
+        y = nn.relu(y.reshape(B, d_out, H, W, self.features))
+        return standardize(y, self.eps)
+
+
+class MiddleConvLayers(nn.Module):
+    """Dense 3D conv stack compressing depth 10 -> 2
+    (reference CML, Pipe.py:31-43).
+
+    ``fold_depth`` computes each 3D conv as a depth-folded 2D conv
+    (see Conv3DFoldedReluNorm) — same parameters and math.  Measured on
+    v5e it is *slower* (XLA materializes the 2.2 GB tap tensor instead
+    of fusing it into the conv), so the naive 3D form stays the default;
+    the folded path is kept for future Mosaic-fused revisions.
+    """
+    eps: float = 1e-6
+    fold_depth: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (..., D, H, W, C) = (..., 10, 352, 400, 128)
+        if self.fold_depth:
+            x = Conv3DFoldedReluNorm(64, 2, 1, self.eps,
+                                     name="conv1")(x)            # D 10->5
+            x = Conv3DFoldedReluNorm(64, 1, 0, self.eps,
+                                     name="conv2")(x)            # D 5->3
+            x = Conv3DFoldedReluNorm(64, 2, 1, self.eps,
+                                     name="conv3")(x)            # D 3->2
+            return x
         p1 = ((1, 1), (1, 1), (1, 1))
         x = ConvReluNorm(64, (3, 3, 3), (2, 1, 1), p1, self.eps,
                          xavier=False, name="conv1")(x)          # D 10->5

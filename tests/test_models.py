@@ -407,3 +407,21 @@ def test_voxelnet_remat_matches_plain(rng):
     flat2 = np.concatenate([np.asarray(x).ravel()
                             for x in jax.tree.leaves(g2)])
     assert np.corrcoef(flat1, flat2)[0, 1] > 0.99
+
+
+def test_cml_depth_fold_matches_3d(rng):
+    """Depth-folded CML == naive 3D conv CML with the same params."""
+    from mvxnet_makise_tpu.models.voxelnet import MiddleConvLayers
+
+    x = jnp.asarray(rng.normal(size=(1, 10, 24, 20, 16)).astype(np.float32))
+    folded = MiddleConvLayers(fold_depth=True)
+    naive = MiddleConvLayers(fold_depth=False)
+    params = naive.init(jax.random.key(0), x)
+    # identical param trees
+    p2 = folded.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    y_naive = np.asarray(naive.apply(params, x))
+    y_fold = np.asarray(folded.apply(params, x))
+    assert y_naive.shape == y_fold.shape == (1, 2, 24, 20, 64)
+    np.testing.assert_allclose(y_fold, y_naive, rtol=1e-3, atol=1e-4)
