@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_CELLS = 2048
+BLOCK_CELLS = 8192
 
 
 def _kernel(starts_ref, flats_ref, table_ref, out_ref):
@@ -45,18 +45,32 @@ def _kernel(starts_ref, flats_ref, table_ref, out_ref):
     grid: zero background + this block's voxel rows.
 
     starts_ref: scalar-prefetch (n_blocks + 1,) — row ranges into the
-    sorted voxel table per output block.  flats_ref: (V, 1) global cell
-    ids (sorted).  table_ref: (V, C) voxel features (sorted alike).
+    sorted voxel table per output block.  flats_ref: scalar-prefetch
+    (V,) global cell ids (sorted) — lives in SMEM, so dynamic scalar
+    reads are legal (VMEM vector loads need 128-aligned lane indices).
+    table_ref: (V, C) voxel features (sorted alike) in VMEM.
     """
     i = pl.program_id(0)
     out_ref[...] = jnp.zeros_like(out_ref)
     base = i * BLOCK_CELLS
+    C = out_ref.shape[-1]
+    SUB = 16  # sublane tile: covers f32 (8) and bf16 (16) alignment
 
     def body(j, _):
-        # flats is stored (V // 128, 128) so the scalar read is
-        # tiling-aligned
-        off = flats_ref[j // 128, j % 128] - base
-        out_ref[pl.ds(off, 1), :] = table_ref[pl.ds(j, 1), :]
+        off = flats_ref[j] - base
+        # aligned (SUB, C) source block; select row j % SUB exactly
+        tb = pl.multiple_of((j // SUB) * SUB, SUB)
+        blk = table_ref[pl.ds(tb, SUB), :]
+        src_sel = jax.lax.broadcasted_iota(
+            jnp.int32, (SUB, 1), 0) == (j - tb)
+        row = jnp.sum(jnp.where(src_sel, blk, 0), axis=0, keepdims=True)
+        # aligned read-modify-write of the destination block
+        ob = pl.multiple_of((off // SUB) * SUB, SUB)
+        dst_sel = jax.lax.broadcasted_iota(
+            jnp.int32, (SUB, 1), 0) == (off - ob)
+        cur = out_ref[pl.ds(ob, SUB), :]
+        out_ref[pl.ds(ob, SUB), :] = jnp.where(
+            dst_sel, jnp.broadcast_to(row, (SUB, C)), cur)
         return 0
 
     jax.lax.fori_loop(starts_ref[i], starts_ref[i + 1], body, 0,
@@ -99,23 +113,22 @@ def pallas_scatter_to_grid(features: jnp.ndarray,
     starts = jnp.searchsorted(flat_s, block_edges).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            # whole arrays resident in VMEM across all grid steps
-            pl.BlockSpec((Vp // 128, 128), lambda i, starts: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Vp, C), lambda i, starts: (0, 0),
+            # voxel table resident in VMEM across all grid steps
+            pl.BlockSpec((Vp, C), lambda i, starts, flats: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_CELLS, C), lambda i, starts: (i, 0)),
+        out_specs=pl.BlockSpec((BLOCK_CELLS, C),
+                               lambda i, starts, flats: (i, 0)),
     )
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((padded_cells, C), features.dtype),
         interpret=interpret,
-    )(starts, flat_s.reshape(Vp // 128, 128), feats_s)
+    )(starts, flat_s, feats_s)
     return out[:n_cells].reshape(nz, nx, ny, C)
 
 
