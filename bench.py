@@ -48,7 +48,7 @@ def main():
     from mvxnet_makise_tpu.config import Config
     from mvxnet_makise_tpu.data.pipeline import collate, preprocess_frame
     from mvxnet_makise_tpu.data.synthetic import synthetic_frame
-    from mvxnet_makise_tpu.models import MVXNetPointFusion, VoxelNetBranch
+    from mvxnet_makise_tpu.train.loop import build_model_and_state
     from mvxnet_makise_tpu.train.state import cast_for_compute
     from mvxnet_makise_tpu.train.step import frames_to_batch
 
@@ -63,44 +63,29 @@ def main():
     fb = collate(frames)
 
     with_images = not args.lidar_only
-    if with_images:
-        model = MVXNetPointFusion(grid_shape=cfg.voxel_shape,
-                                  image_size=cfg.image_size)
-    else:
-        model = VoxelNetBranch(grid_shape=cfg.voxel_shape)
+    model, state = build_model_and_state(cfg, with_images)
+    init_params = state.params
+    del state
+
+    from mvxnet_makise_tpu.train.step import _model_inputs
 
     def infer(params, points, num_points, images):
         batch = frames_to_batch(points, num_points, images,
                                 jnp.zeros((args.batch, 1, 7)),
                                 jnp.zeros((args.batch, 1), bool), cfg)
         cparams = cast_for_compute(params, cfg.use_bf16)
-        voxels = batch.voxels.astype(jnp.bfloat16)
-        if with_images:
-            score, reg = model.apply(
-                cparams, voxels, batch.coords, batch.vmask,
-                batch.images.astype(jnp.bfloat16),
-                points.astype(jnp.bfloat16), batch.point_slots)
-        else:
-            score, reg = model.apply(
-                cparams, voxels[..., :7], batch.coords, batch.vmask)
+        from mvxnet_makise_tpu.train.step import (
+            cast_batch_for_compute)
+
+        cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
+        score, reg = model.apply(
+            cparams, *_model_inputs(cbatch, with_images))
         return score.astype(jnp.float32), reg.astype(jnp.float32)
 
     points = jnp.asarray(fb.points)
     num_points = jnp.asarray(fb.num_points)
     images = jnp.asarray(fb.image)
-
-    # init params (host, f32)
-    dummy = frames_to_batch(points, num_points, images,
-                            jnp.zeros((args.batch, 1, 7)),
-                            jnp.zeros((args.batch, 1), bool), cfg)
-    if with_images:
-        params = jax.jit(model.init)(
-            jax.random.key(0), dummy.voxels, dummy.coords, dummy.vmask,
-            images, points, dummy.point_slots)
-    else:
-        params = jax.jit(model.init)(
-            jax.random.key(0), dummy.voxels[..., :7], dummy.coords,
-            dummy.vmask)
+    params = init_params
 
     step = jax.jit(infer)
 

@@ -107,7 +107,9 @@ class Config:
     #   "slot"  - MVXNet, the reference's per-sample-slot dataflow
     #   "voxel" - MVXNetVoxelFusion, the MVX-Net paper's cheaper
     #             voxel-level variant
-    fusion_mode: str = "point"
+    #   "pm"    - MVXNetPM, fully point-major (fastest; point fusion AND
+    #             the LiDAR point encoder run on real points only)
+    fusion_mode: str = "pm"
 
     # ---- compat knobs ----
     # the reference's bilinear gather swaps the interpolation weights vs the

@@ -25,6 +25,10 @@ from mvxnet_makise_tpu.models.image_head import (  # noqa: F401
 )
 from mvxnet_makise_tpu.models.mvxnet import (  # noqa: F401
     MVXNet,
+    MVXNetPM,
     MVXNetPointFusion,
     MVXNetVoxelFusion,
+)
+from mvxnet_makise_tpu.models.voxelnet_pm import (  # noqa: F401
+    VoxelNetBranchPM,
 )

@@ -117,6 +117,45 @@ class DenseReluNormVirtual(nn.Module):
         return (h - mean) * inv, (hz - mean) * inv
 
 
+class DenseReluNormVirtualWeighted(nn.Module):
+    """Dense -> ReLU -> standardize over real rows plus *weighted
+    per-group* constant rows.
+
+    Generalizes :class:`DenseReluNormVirtual`: instead of one global
+    constant row, each group (voxel) contributes ``w_g`` copies of its
+    own constant row ``z_g`` to the statistics.  This is what exact
+    point-major VFE computation needs: after the first per-voxel max is
+    concatenated, the empty sample slots of voxel ``g`` all hold
+    ``concat(z_prev, max_g)`` — per-voxel constants with multiplicity
+    ``T - count_g``.
+    """
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 z: jnp.ndarray, w: jnp.ndarray, zmask: jnp.ndarray):
+        """x: (..., P, C) real rows; mask: (..., P) validity;
+        z: (..., V, C) per-group constant rows; w: (..., V) their
+        multiplicities (float/int); zmask: (..., V) group validity.
+        Stats reduce over ALL leading dims.  Returns (x', z')."""
+        d = nn.Dense(self.features, name="fc")
+        h = nn.relu(d(x))
+        hz = nn.relu(d(z))
+
+        m = mask[..., None].astype(h.dtype)
+        wv = (w * zmask).astype(h.dtype)[..., None]
+        n_tot = jnp.sum(m) + jnp.sum(wv)
+        axes = tuple(range(h.ndim - 1))
+        mean = (jnp.sum(h * m, axis=axes)
+                + jnp.sum(hz * wv, axis=axes)) / n_tot
+        sq = (jnp.sum(jnp.square(h) * m, axis=axes)
+              + jnp.sum(jnp.square(hz) * wv, axis=axes)) / n_tot
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return (h - mean) * inv, (hz - mean) * inv
+
+
 class ConvReluNorm(nn.Module):
     """Conv(2D/3D by kernel rank) -> ReLU -> standardize.
 

@@ -188,3 +188,63 @@ class MVXNetVoxelFusion(nn.Module):
         y = jnp.transpose(y, (0, 2, 3, 4, 1)).reshape(Bd, H, W, C * D)
         return RPN(self.anchors_per_loc, self.box_dim, self.eps,
                    name="rpn")(y)
+
+
+class MVXNetPM(nn.Module):
+    """Fully point-major MVXNet: per-point image fusion + point-major
+    VoxelNet branch (voxelnet_pm.VoxelNetBranchPM).
+
+    The fastest formulation: neither the image branch nor the LiDAR
+    point encoder ever materializes the (V, T, C) slot tensor — all
+    pointwise work runs on the ~20-30k real points, per-voxel pooling is
+    a sorted segment-max, and empty-slot semantics are reproduced in
+    closed form (virtual rows).  Parameter tree matches MVXNet /
+    MVXNetPointFusion; checkpoints interchange across all three.
+    """
+    grid_shape: Sequence[int] = (352, 400, 10)
+    image_size: Tuple[int, int] = (370, 1224)
+    anchors_per_loc: int = 2
+    box_dim: int = 7
+    eps: float = 1e-6
+    swapped_bilerp: bool = False
+    samples_per_voxel: int = 35
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, sorted_points: jnp.ndarray,
+                 sorted_kept: jnp.ndarray, sorted_seg: jnp.ndarray,
+                 counts: jnp.ndarray, coords: jnp.ndarray,
+                 vmask: jnp.ndarray,
+                 images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """sorted_points: (B, P, 6) voxel-sorted [x y z refl row col];
+        sorted_kept/seg: (B, P); counts: (B, V); coords: (B, V, 3);
+        vmask: (B, V); images: (B, H, W, 3)."""
+        from mvxnet_makise_tpu.models.voxelnet_pm import (
+            VoxelNetBranchPM,
+            point_lidar_features,
+        )
+
+        B, P, _ = sorted_points.shape
+        V = counts.shape[1]
+        T = self.samples_per_voxel
+
+        n_virtual = jnp.sum(vmask) * T - jnp.sum(sorted_kept)
+        imfeat, z16 = PointImageHead(
+            self.image_size, self.eps, self.swapped_bilerp,
+            name="head")(images, sorted_points[..., 4:6], sorted_kept,
+                         n_virtual)
+
+        pf7 = jax.vmap(point_lidar_features)(
+            sorted_points, sorted_seg, sorted_kept, counts)
+        # geometry is done: drop to the compute dtype of the image branch
+        cdt = imfeat.dtype
+        x = jnp.concatenate([pf7.astype(cdt), imfeat], axis=-1)
+        z0 = jnp.concatenate([
+            jnp.zeros((B, V, 7), cdt),
+            jnp.broadcast_to(z16.astype(cdt), (B, V, 16))], axis=-1)
+
+        return VoxelNetBranchPM(
+            self.grid_shape, self.anchors_per_loc, self.box_dim,
+            self.eps, self.samples_per_voxel, self.remat,
+            name="backbone")(x, sorted_kept, sorted_seg, counts, coords,
+                             vmask, z0)

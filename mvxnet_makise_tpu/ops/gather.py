@@ -64,8 +64,10 @@ def bilinear_gather_fpn(features: Sequence[jnp.ndarray],
         c = jnp.clip(c, 0.0, Wf - 1.0)
         r0 = jnp.floor(r).astype(jnp.int32)
         c0 = jnp.floor(c).astype(jnp.int32)
-        fr = (r - r0.astype(r.dtype))[:, None]
-        fc = (c - c0.astype(c.dtype))[:, None]
+        # weights in the feature dtype so bf16 pipelines stay bf16 (the
+        # index math above stays in the input precision)
+        fr = (r - r0.astype(r.dtype))[:, None].astype(feat.dtype)
+        fc = (c - c0.astype(c.dtype))[:, None].astype(feat.dtype)
         r1 = jnp.minimum(r0 + 1, Hf - 1)
         c1 = jnp.minimum(c0 + 1, Wf - 1)
 

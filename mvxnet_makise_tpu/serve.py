@@ -86,7 +86,10 @@ class Detector:
                 jnp.zeros((batch_size, 1, 7)),
                 jnp.zeros((batch_size, 1), bool), cfg)
             cparams = cast_for_compute(params, cfg.use_bf16)
-            cbatch = cast_for_compute(batch, cfg.use_bf16)
+            from mvxnet_makise_tpu.train.step import (
+            cast_batch_for_compute)
+
+        cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
             if self.with_images and cfg.point_fusion:
                 score, reg = self.model.apply(
                     cparams, cbatch.voxels, batch.coords, batch.vmask,

@@ -37,18 +37,15 @@ def run_eval(cfg, frames, state_params, model, with_images: bool,
             points, num_points, images,
             jnp.zeros((points.shape[0], 1, 7)),
             jnp.zeros((points.shape[0], 1), bool), cfg)
+        from mvxnet_makise_tpu.train.step import _model_inputs
+
         cparams = cast_for_compute(params, cfg.use_bf16)
-        cbatch = cast_for_compute(batch, cfg.use_bf16)
-        if with_images and cfg.point_fusion:
-            score, reg = model.apply(cparams, cbatch.voxels, batch.coords,
-                                     batch.vmask, cbatch.images,
-                                     cbatch.points, batch.point_slots)
-        elif with_images:
-            score, reg = model.apply(cparams, cbatch.voxels, batch.coords,
-                                     batch.vmask, cbatch.images)
-        else:
-            score, reg = model.apply(cparams, cbatch.voxels[..., :7],
-                                     batch.coords, batch.vmask)
+        from mvxnet_makise_tpu.train.step import (
+            cast_batch_for_compute)
+
+        cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
+        score, reg = model.apply(
+            cparams, *_model_inputs(cbatch, with_images))
         return jax.vmap(lambda s, r: decode_predictions(
             s.astype(jnp.float32), r.astype(jnp.float32), anchors,
             score_threshold=score_threshold))(score, reg)

@@ -36,6 +36,7 @@ from mvxnet_makise_tpu.data.pipeline import FrameArrays
 from mvxnet_makise_tpu.geometry.calib import lidar_to_image
 from mvxnet_makise_tpu.models import (
     MVXNet,
+    MVXNetPM,
     MVXNetPointFusion,
     MVXNetVoxelFusion,
     VoxelNetBranch,
@@ -115,7 +116,7 @@ def build_model_and_state(cfg: Config, with_images: bool,
                           rng_seed: int = 0,
                           image_weights=None):
     """Construct the flagship model and a fresh TrainState."""
-    cls = {"point": MVXNetPointFusion, "slot": MVXNet,
+    cls = {"pm": MVXNetPM, "point": MVXNetPointFusion, "slot": MVXNet,
            "voxel": MVXNetVoxelFusion}[cfg.fusion_mode]
     if with_images:
         kw = dict(grid_shape=cfg.voxel_shape,
@@ -124,7 +125,16 @@ def build_model_and_state(cfg: Config, with_images: bool,
         if cfg.fusion_mode != "voxel":
             kw.update(swapped_bilerp=cfg.compat_swapped_bilerp,
                       remat=cfg.remat)
+        if cfg.fusion_mode == "pm":
+            kw.update(samples_per_voxel=cfg.samples_per_voxel)
         model = cls(**kw)
+    elif cfg.fusion_mode == "pm":
+        from mvxnet_makise_tpu.models import VoxelNetBranchPM
+
+        model = VoxelNetBranchPM(grid_shape=cfg.voxel_shape,
+                                 anchors_per_loc=cfg.anchors_per_loc,
+                                 samples_per_voxel=cfg.samples_per_voxel,
+                                 remat=cfg.remat)
     else:
         model = VoxelNetBranch(grid_shape=cfg.voxel_shape,
                                anchors_per_loc=cfg.anchors_per_loc,
@@ -134,15 +144,31 @@ def build_model_and_state(cfg: Config, with_images: bool,
     dummy_vox = jnp.zeros((1, V, T, 9 if with_images else 7))
     dummy_coords = jnp.zeros((1, V, 3), jnp.int32)
     dummy_mask = jnp.zeros((1, V), bool)
-    if with_images:
+    if with_images and cfg.fusion_mode == "pm":
+        P = cfg.max_points
+        dummy_img = jnp.zeros((1, *cfg.image_size, 3))
+        params = jax.jit(model.init)(
+            jax.random.key(rng_seed),
+            jnp.zeros((1, P, 6)), jnp.zeros((1, P), bool),
+            jnp.full((1, P), V, jnp.int32),
+            jnp.zeros((1, V), jnp.int32), dummy_coords, dummy_mask,
+            dummy_img)
+    elif with_images:
         dummy_img = jnp.zeros((1, *cfg.image_size, 3))
         extra = ()
-        if cfg.point_fusion:
+        if cfg.fusion_mode == "point":
             extra = (jnp.zeros((1, cfg.max_points, 6)),
                      jnp.full((1, cfg.max_points), -1, jnp.int32))
         params = jax.jit(model.init)(
             jax.random.key(rng_seed), dummy_vox, dummy_coords, dummy_mask,
             dummy_img, *extra)
+    elif cfg.fusion_mode == "pm":
+        P = cfg.max_points
+        params = jax.jit(model.init)(
+            jax.random.key(rng_seed),
+            jnp.zeros((1, P, 7)), jnp.zeros((1, P), bool),
+            jnp.full((1, P), V, jnp.int32),
+            jnp.zeros((1, V), jnp.int32), dummy_coords, dummy_mask)
     else:
         params = jax.jit(model.init)(
             jax.random.key(rng_seed), dummy_vox, dummy_coords, dummy_mask)

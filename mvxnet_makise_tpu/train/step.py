@@ -20,6 +20,25 @@ from mvxnet_makise_tpu.train.loss import voxel_loss
 from mvxnet_makise_tpu.train.state import TrainState, cast_for_compute
 
 
+def cast_batch_for_compute(batch: "Batch", use_bf16: bool) -> "Batch":
+    """Precision-aware batch casting for bf16 compute.
+
+    Only dense activations are downcast (slot voxels, images); tensors
+    carrying *geometry* — raw point coordinates and image projections
+    (points / sorted_points) — stay f32: bf16 has 7 mantissa bits, which
+    is +-8 px at column ~1000 and +-0.25 m at x ~70 m.  Models cast the
+    derived features to the compute dtype after the geometry is consumed.
+    """
+    if not use_bf16:
+        return batch
+    def cast(x):
+        return x.astype(jnp.bfloat16) \
+            if x is not None and jnp.issubdtype(x.dtype, jnp.floating) \
+            else x
+    return batch._replace(voxels=cast(batch.voxels),
+                          images=cast(batch.images))
+
+
 class Batch(NamedTuple):
     """One device batch of preprocessed frames (all static shapes)."""
     voxels: jnp.ndarray    # (B, V, T, 9)
@@ -31,11 +50,16 @@ class Batch(NamedTuple):
     gt_classes: jnp.ndarray = None  # (B, G) int32; None = all class 0
     points: jnp.ndarray = None      # (B, P, 6) padded clouds (point fusion)
     point_slots: jnp.ndarray = None  # (B, P) flat slot per point, -1 drop
+    # point-major fields (fusion_mode "pm"): voxel-sorted views
+    sorted_points: jnp.ndarray = None  # (B, P, 6)
+    sorted_kept: jnp.ndarray = None    # (B, P) bool
+    sorted_seg: jnp.ndarray = None     # (B, P) int32
+    counts: jnp.ndarray = None         # (B, V) int32
 
 
 def frames_to_batch(points, num_points, images, gt_boxes, gt_mask,
                     cfg: Config, shuffle_key=None,
-                    gt_classes=None) -> Batch:
+                    gt_classes=None, point_major=None) -> Batch:
     """Voxelize a batch of padded frames on device (vmapped, jittable).
 
     points: (B, P, 6); num_points: (B,); images: (B, H, W, 3).
@@ -49,11 +73,15 @@ def frames_to_batch(points, num_points, images, gt_boxes, gt_mask,
     keys = (jax.random.split(shuffle_key, B)
             if shuffle_key is not None else None)
 
+    if point_major is None:
+        point_major = cfg.fusion_mode == "pm"
+
     def one(p, n, k):
         return voxelize(
             p, n, velo_range=cfg.velo_range, voxel_size=cfg.voxel_size,
             grid_shape=cfg.voxel_shape, max_voxels=cfg.max_voxels,
-            samples_per_voxel=cfg.samples_per_voxel, shuffle_key=k)
+            samples_per_voxel=cfg.samples_per_voxel, shuffle_key=k,
+            slot_features=not point_major)
 
     if keys is None:
         grids = jax.vmap(lambda p, n: one(p, n, None))(points, num_points)
@@ -63,7 +91,11 @@ def frames_to_batch(points, num_points, images, gt_boxes, gt_mask,
                  vmask=grids.mask, images=images,
                  gt_boxes=gt_boxes, gt_mask=gt_mask,
                  gt_classes=gt_classes, points=points,
-                 point_slots=grids.point_slots)
+                 point_slots=grids.point_slots,
+                 sorted_points=grids.sorted_points,
+                 sorted_kept=grids.sorted_kept,
+                 sorted_seg=grids.sorted_seg,
+                 counts=grids.counts)
 
 
 def _assign_batch(batch: Batch, cfg: Config):
@@ -81,6 +113,11 @@ def _assign_batch(batch: Batch, cfg: Config):
 
 def _model_inputs(batch: Batch, with_images: bool):
     if with_images:
+        if batch.voxels is not None and batch.voxels.shape[1] == 0:
+            # fully point-major path (models.MVXNetPM)
+            return (batch.sorted_points, batch.sorted_kept,
+                    batch.sorted_seg, batch.counts, batch.coords,
+                    batch.vmask, batch.images)
         if batch.points is not None and batch.point_slots is not None:
             # point-fusion fast path (models.MVXNetPointFusion)
             return (batch.voxels, batch.coords, batch.vmask, batch.images,
@@ -88,13 +125,23 @@ def _model_inputs(batch: Batch, with_images: bool):
         return (batch.voxels, batch.coords, batch.vmask, batch.images)
     # LiDAR-only config: the branch consumes the 7 LiDAR channels
     # (reference SVFE cin=7 without the 16 image channels, SURVEY.md §7 M3)
+    if batch.voxels is not None and batch.voxels.shape[1] == 0:
+        # point-major LiDAR branch (VoxelNetBranchPM)
+        from mvxnet_makise_tpu.models.voxelnet_pm import (
+            point_lidar_features)
+
+        pf7 = jax.vmap(point_lidar_features)(
+            batch.sorted_points, batch.sorted_seg, batch.sorted_kept,
+            batch.counts)
+        return (pf7, batch.sorted_kept, batch.sorted_seg, batch.counts,
+                batch.coords, batch.vmask)
     return (batch.voxels[..., :7], batch.coords, batch.vmask)
 
 
 def compute_loss(params, batch: Batch, targets, anchors, apply_fn,
                  cfg: Config, with_images: bool):
     cparams = cast_for_compute(params, cfg.use_bf16)
-    cbatch = cast_for_compute(batch, cfg.use_bf16)
+    cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
     score, reg = apply_fn(cparams, *_model_inputs(cbatch, with_images))
     score = score.astype(jnp.float32)
     reg = reg.astype(jnp.float32)
@@ -144,7 +191,7 @@ def make_eval_step(cfg: Config, with_images: bool = True):
 
     def eval_step(params, batch: Batch, apply_fn):
         cparams = cast_for_compute(params, cfg.use_bf16)
-        cbatch = cast_for_compute(batch, cfg.use_bf16)
+        cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
         score, reg = apply_fn(cparams, *_model_inputs(cbatch, with_images))
         return score.astype(jnp.float32), reg.astype(jnp.float32)
 
