@@ -79,6 +79,11 @@ class Detector:
             return self._compiled[batch_size]
         cfg = self.cfg
 
+        from mvxnet_makise_tpu.train.step import (
+            _model_inputs,
+            cast_batch_for_compute,
+        )
+
         @jax.jit
         def run(params, points, num_points, images):
             batch = frames_to_batch(
@@ -86,22 +91,9 @@ class Detector:
                 jnp.zeros((batch_size, 1, 7)),
                 jnp.zeros((batch_size, 1), bool), cfg)
             cparams = cast_for_compute(params, cfg.use_bf16)
-            from mvxnet_makise_tpu.train.step import (
-            cast_batch_for_compute)
-
-        cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
-            if self.with_images and cfg.point_fusion:
-                score, reg = self.model.apply(
-                    cparams, cbatch.voxels, batch.coords, batch.vmask,
-                    cbatch.images, cbatch.points, batch.point_slots)
-            elif self.with_images:
-                score, reg = self.model.apply(
-                    cparams, cbatch.voxels, batch.coords, batch.vmask,
-                    cbatch.images)
-            else:
-                score, reg = self.model.apply(
-                    cparams, cbatch.voxels[..., :7], batch.coords,
-                    batch.vmask)
+            cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
+            score, reg = self.model.apply(
+                cparams, *_model_inputs(cbatch, self.with_images))
             return jax.vmap(lambda s, r: decode_predictions(
                 s.astype(jnp.float32), r.astype(jnp.float32),
                 self.anchors, score_threshold=self.score_threshold,

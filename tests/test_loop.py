@@ -132,7 +132,7 @@ def test_nonfinite_update_guard(tmp_path):
     from mvxnet_makise_tpu.ops import create_anchors
     from mvxnet_makise_tpu.train.step import Batch, make_train_step
 
-    cfg = small_cfg(tmp_path)
+    cfg = small_cfg(tmp_path).replace(fusion_mode="slot")
     V, T = cfg.max_voxels, cfg.samples_per_voxel
     B = 1
     voxels = np.full((B, V, T, 9), np.nan, np.float32)  # poison
