@@ -200,14 +200,19 @@ def voxelize(points: jnp.ndarray,
     else:
         feats = jnp.zeros((0, T, 9), points.dtype)
 
-    # map original input rows -> flat sample slot
+    # map original input rows -> flat sample slot (only consumers are
+    # slot-indexed models; the point-major path never reads it, so skip
+    # the scatter when slot features are off)
     if shuffle_key is not None:
         orig_rows = perm[order]
     else:
         orig_rows = order
-    point_slots = jnp.full((P,), -1, jnp.int32).at[orig_rows].set(
-        jnp.where(keep, (seg_id * T + rank).astype(jnp.int32), -1),
-        unique_indices=True)
+    if slot_features:
+        point_slots = jnp.full((P,), -1, jnp.int32).at[orig_rows].set(
+            jnp.where(keep, (seg_id * T + rank).astype(jnp.int32), -1),
+            unique_indices=True)
+    else:
+        point_slots = jnp.full((P,), -1, jnp.int32)
     num_kept = jnp.sum(keep).astype(jnp.int32)
 
     return VoxelGrid(features=feats, coords=coords, counts=counts,
