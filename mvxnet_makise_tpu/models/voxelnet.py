@@ -119,6 +119,39 @@ class Conv3DFoldedReluNorm(nn.Module):
         return standardize(y, self.eps)
 
 
+class Conv3DShiftedReluNorm(nn.Module):
+    """3D conv computed as THREE shifted 2D convs accumulated.
+
+    Unlike Conv3DFoldedReluNorm (which materializes a 3C-channel tap
+    tensor — measured slower), this slices the input per depth-tap and
+    accumulates three (B*D_out, H, W, C)->O convolutions.  No large
+    intermediate is written; XLA can fuse the strided slice into the
+    conv's input read.
+    """
+    features: int
+    stride_d: int
+    pad_d: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, D, H, W, C = x.shape
+        kernel, bias = _Conv3DParams(self.features, C, name="conv")()
+        d_out = (D + 2 * self.pad_d - 3) // self.stride_d + 1
+        xp = jnp.pad(x, ((0, 0), (self.pad_d, self.pad_d),
+                         (0, 0), (0, 0), (0, 0)))
+        y = None
+        for kd in range(3):
+            sl = xp[:, kd:kd + (d_out - 1) * self.stride_d + 1:self.stride_d]
+            part = jax.lax.conv_general_dilated(
+                sl.reshape(B * d_out, H, W, C), kernel[kd],
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = part if y is None else y + part
+        y = nn.relu((y + bias).reshape(B, d_out, H, W, self.features))
+        return standardize(y, self.eps)
+
+
 class MiddleConvLayers(nn.Module):
     """Dense 3D conv stack compressing depth 10 -> 2
     (reference CML, Pipe.py:31-43).
@@ -131,10 +164,19 @@ class MiddleConvLayers(nn.Module):
     """
     eps: float = 1e-6
     fold_depth: bool = False
+    shifted: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (..., D, H, W, C) = (..., 10, 352, 400, 128)
+        if self.shifted:
+            x = Conv3DShiftedReluNorm(64, 2, 1, self.eps,
+                                      name="conv1")(x)           # D 10->5
+            x = Conv3DShiftedReluNorm(64, 1, 0, self.eps,
+                                      name="conv2")(x)           # D 5->3
+            x = Conv3DShiftedReluNorm(64, 2, 1, self.eps,
+                                      name="conv3")(x)           # D 3->2
+            return x
         if self.fold_depth:
             x = Conv3DFoldedReluNorm(64, 2, 1, self.eps,
                                      name="conv1")(x)            # D 10->5
