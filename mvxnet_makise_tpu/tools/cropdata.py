@@ -12,11 +12,12 @@ Modes (the reference offers numpy | torch | torch-cuda; ours):
 Boundary semantics are identical across modes (half-open range bounds,
 ``imsize - 1e-3`` frustum epsilon — reference Preprocessing.py:34-43).
 
-Usage: python -m mvxnet_makise_tpu.tools.cropdata <dataroot> [mode]
+Usage: python -m mvxnet_makise_tpu.tools.cropdata <dataroot> [mode] [workers]
 """
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import os
 import sys
 import time
@@ -62,6 +63,7 @@ def main(argv=None):
         return 1
     root = argv[0]
     mode = argv[1] if len(argv) > 1 and argv[1] != "-" else "native"
+    workers = int(argv[2]) if len(argv) > 2 else (os.cpu_count() or 4)
     cfg = load_config(None, data_root=root)
     paths = KittiPaths.from_root(root)
     os.makedirs(paths.velodyne_cropped, exist_ok=True)
@@ -69,17 +71,26 @@ def main(argv=None):
     ids = sorted(os.path.splitext(f)[0]
                  for f in os.listdir(paths.velodyne) if f.endswith(".bin"))
     t0 = time.perf_counter()
-    for i, fid in enumerate(ids):
+    done = 0
+
+    def one(fid):
         pts = np.fromfile(os.path.join(paths.velodyne, fid + ".bin"),
                           dtype=np.float32).reshape(-1, 4)
         calib = read_calib(os.path.join(paths.calib, fid + ".txt"))
         out = crop_frame(pts, calib, cfg, mode)
         out.astype(np.float32).tofile(
             os.path.join(paths.velodyne_cropped, fid + ".bin"))
-        if (i + 1) % 500 == 0 or i + 1 == len(ids):
-            dt = time.perf_counter() - t0
-            print(f"\r{i + 1}/{len(ids)} ({(i + 1) / dt:.1f} frames/s)",
-                  end="", flush=True)
+
+    # the jax mode must stay single-threaded (device contention); the
+    # native/numpy modes release the GIL in I/O and C++ and scale well
+    pool_workers = 1 if mode == "jax" else max(workers, 1)
+    with cf.ThreadPoolExecutor(max_workers=pool_workers) as pool:
+        for _ in pool.map(one, ids):
+            done += 1
+            if done % 500 == 0 or done == len(ids):
+                dt = time.perf_counter() - t0
+                print(f"\r{done}/{len(ids)} ({done / dt:.1f} frames/s)",
+                      end="", flush=True)
     print()
     return 0
 

@@ -200,7 +200,9 @@ def train(cfg: Config,
           num_epochs: Optional[int] = None,
           image_weights=None,
           log_every: int = 50,
-          workers: Optional[int] = None) -> TrainState:
+          workers: Optional[int] = None,
+          eval_frames: Optional[Sequence[KittiFrame]] = None,
+          eval_every: int = 1) -> TrainState:
     """Run the training loop over in-RAM frames.  Returns final state."""
     num_epochs = num_epochs or cfg.num_epochs
     anchors = create_anchors(cfg.feature_map_shape, cfg.velo_range,
@@ -267,5 +269,20 @@ def train(cfg: Config,
 
         with timer.phase("checkpoint"):
             ckpt.save_checkpoint(cfg.checkpoint_dir, epoch + 1, state)
+
+        # periodic validation (no reference counterpart — its eval was
+        # never committed, SURVEY.md §6)
+        if eval_frames and (epoch + 1 - resume_epoch) % eval_every == 0:
+            from mvxnet_makise_tpu.eval.runner import run_eval
+
+            with timer.phase("eval"):
+                res = run_eval(cfg, list(eval_frames), state.params,
+                               model, with_images,
+                               batch_size=min(cfg.batch_size, 4))
+            for cname, buckets in res.items():
+                r = buckets["all"]
+                print(f"epoch {epoch + 1} val {cname}: "
+                      f"AP={r['ap']:.4f} R={r['recall']:.4f} "
+                      f"gt={r['num_gt']}")
         print(f"epoch {epoch + 1} done | {timer.report()}")
     return state

@@ -177,3 +177,13 @@ def test_phase_timer():
     assert t.totals["a"] >= 0.02
     assert t.counts["a"] == 2
     assert "a:" in t.report()
+
+
+@pytest.mark.slow
+def test_train_loop_with_periodic_eval(tmp_path):
+    cfg = small_cfg(tmp_path)
+    frames = make_frames(cfg, 2)
+    val = make_frames(cfg, 2, seed=9)
+    state = train(cfg, frames, with_images=False, num_epochs=1,
+                  log_every=10, workers=1, eval_frames=val)
+    assert int(state.step) == 1
