@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--lidar-only", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the fused training step instead of "
+                         "inference")
     ap.add_argument("--max-seconds", type=int, default=1500,
                     help="watchdog: emit an error JSON instead of hanging "
                          "forever if the device link wedges")
@@ -86,6 +89,42 @@ def main():
     num_points = jnp.asarray(fb.num_points)
     images = jnp.asarray(fb.image)
     params = init_params
+
+    if args.train:
+        from mvxnet_makise_tpu.ops import create_anchors
+        from mvxnet_makise_tpu.train.loop import make_full_train_step
+        from mvxnet_makise_tpu.train.state import TrainState, make_optimizer
+
+        anchors = create_anchors(cfg.feature_map_shape, cfg.velo_range,
+                                 cfg.anchor_sizes)
+        tstate = TrainState.create(model.apply, params, make_optimizer(cfg))
+        tstep = make_full_train_step(cfg, anchors, with_images)
+        gts = jnp.asarray(fb.gt_boxes)
+        gms = jnp.asarray(fb.gt_mask)
+        gcs = jnp.zeros(gms.shape, jnp.int32)
+        key = jax.random.key(0)
+
+        def sync_t(s):
+            return float(jnp.sum(jax.tree.leaves(s.params)[0]
+                                 .astype(jnp.float32).ravel()[:4]))
+
+        for _ in range(args.warmup):
+            tstate, m = tstep(tstate, points, num_points, images, gts,
+                              gms, gcs, key)
+            sync_t(tstate)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            tstate, m = tstep(tstate, points, num_points, images, gts,
+                              gms, gcs, key)
+        sync_t(tstate)
+        dt = time.perf_counter() - t0
+        fps = args.batch * args.iters / dt
+        print(json.dumps({
+            "metric": "kitti_train_frames_per_sec_per_chip"
+                      + ("_lidar_only" if args.lidar_only else ""),
+            "value": round(fps, 2), "unit": "frames/s",
+            "vs_baseline": round(fps / 500.0, 4)}))
+        return
 
     step = jax.jit(infer)
 

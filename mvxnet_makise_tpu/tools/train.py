@@ -30,6 +30,9 @@ def main(argv=None):
                    help="train on N synthetic frames (no dataset needed)")
     p.add_argument("--limit", type=int, default=None,
                    help="cap the number of dataset frames loaded")
+    p.add_argument("--eval-every", type=int, default=0, metavar="N",
+                   help="run val-split AP every N epochs (0 = off)")
+    p.add_argument("--eval-limit", type=int, default=None)
     p.add_argument("--image-weights", default=None,
                    help="torch state_dict file for the ResNet50-FPN "
                         "extractor (torchvision fasterrcnn_resnet50_fpn_v2)")
@@ -52,6 +55,7 @@ def main(argv=None):
         from mvxnet_makise_tpu.data.kitti import KittiFrame
         from mvxnet_makise_tpu.data.synthetic import synthetic_frame
 
+        eval_frames = None
         rng = np.random.default_rng(cfg.seed)
         frames = []
         for i in range(args.synthetic):
@@ -70,6 +74,11 @@ def main(argv=None):
         frames = load_dataset(cfg.data_root, "train", cfg,
                               load_images=not args.lidar_only,
                               limit=args.limit)
+        eval_frames = None
+        if args.eval_every:
+            eval_frames = load_dataset(cfg.data_root, "val", cfg,
+                                       load_images=not args.lidar_only,
+                                       limit=args.eval_limit)
         gt_db = None
         if not args.no_augment:
             from mvxnet_makise_tpu.data.gt_database import load_database
@@ -91,7 +100,9 @@ def main(argv=None):
             image_weights = image_weights.state_dict()
 
     train(cfg, frames, gt_db=gt_db, with_images=not args.lidar_only,
-          resume_epoch=args.resume, image_weights=image_weights)
+          resume_epoch=args.resume, image_weights=image_weights,
+          eval_frames=eval_frames if args.eval_every else None,
+          eval_every=max(args.eval_every, 1))
     return 0
 
 
