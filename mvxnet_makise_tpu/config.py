@@ -147,6 +147,19 @@ class Config:
             self, "class_neg_thresholds", tuple(t[0] for t in thr))
         object.__setattr__(
             self, "class_pos_thresholds", tuple(t[1] for t in thr))
+        # the dense windowed assignment is only equivalent to the
+        # reference's unbounded spiral while the window covers every
+        # anchor that can reach IoU >= neg_threshold — validate at
+        # config time instead of silently diverging (ops/assign.py)
+        from mvxnet_makise_tpu.ops.assign import min_assign_window
+        for size, neg in zip(self.anchor_sizes, self.class_neg_thresholds):
+            req = min_assign_window(self.feature_map_shape, vr, size, neg)
+            if self.assign_window < req:
+                raise ValueError(
+                    f"assign_window={self.assign_window} under-covers "
+                    f"anchors of footprint {size[:2]} at neg IoU "
+                    f"threshold {neg} on a {self.feature_map_shape} grid "
+                    f"— need >= {req} cells for spiral-parity")
 
     # -- convenience --
     @property

@@ -47,6 +47,68 @@ class AnchorTargets(NamedTuple):
     gt_index: jnp.ndarray  # (H, W, A) int32 — matched GT (-1 where not pos)
 
 
+def _lens_area(r1: float, r2: float, d: np.ndarray) -> np.ndarray:
+    """Intersection area of two circles (radii r1, r2, centre distance d)."""
+    d = np.asarray(d, dtype=np.float64)
+    full = np.pi * min(r1, r2) ** 2
+    if r1 > r2:
+        r1, r2 = r2, r1
+    out = np.where(d >= r1 + r2, 0.0, full)
+    mid = (d > r2 - r1) & (d < r1 + r2)
+    dm = np.where(mid, d, (r1 + r2) / 2)  # dummy to keep arccos in range
+    a1 = np.clip((dm**2 + r1**2 - r2**2) / (2 * dm * r1), -1, 1)
+    a2 = np.clip((dm**2 + r2**2 - r1**2) / (2 * dm * r2), -1, 1)
+    lens = (r1**2 * np.arccos(a1) + r2**2 * np.arccos(a2)
+            - 0.5 * np.sqrt(np.maximum(
+                (-dm + r1 + r2) * (dm + r1 - r2)
+                * (dm - r1 + r2) * (dm + r1 + r2), 0.0)))
+    return np.where(mid, lens, out)
+
+
+def min_assign_window(grid_hw: Sequence[int],
+                      velo_range: Sequence[float],
+                      box_size: Sequence[float],
+                      neg_threshold: float,
+                      max_gt_scale: float = 3.0) -> int:
+    """Minimum window half-width (in cells) that provably covers every
+    anchor able to reach ``IoU >= neg_threshold`` with any GT box.
+
+    The spiral-parity guarantee of :func:`assign_anchor_targets` holds
+    only while the window covers all qualifying anchors (the reference
+    spiral scans unboundedly, cpp/voxelutil.cpp:165-167).  Upper bound
+    on the reach: boxes lie inside their circumscribed circles, so
+    box-intersection <= circle-lens area, while IoU >= t forces
+    intersection >= t/(1+t) * (A_gt + A_anchor).  The largest centre
+    distance satisfying both — maximised over GT footprint scales up to
+    ``max_gt_scale``x the anchor footprint — converts to cells (plus
+    half a cell for the GT's rounding to its centre cell).
+    """
+    H, W = grid_hw
+    ls = (velo_range[3] - velo_range[0]) / H
+    ws = (velo_range[4] - velo_range[1]) / W
+    cell = min(ls, ws)
+    l_a, w_a = float(box_size[0]), float(box_size[1])
+    r_a = 0.5 * np.hypot(l_a, w_a)
+    area_a = l_a * w_a
+    t = float(neg_threshold)
+
+    d_max = 0.0
+    for s in np.linspace(0.05, max_gt_scale, 120):
+        r_g, area_g = s * r_a, s * s * area_a
+        need = t / (1.0 + t) * (area_g + area_a)
+        if _lens_area(r_a, r_g, np.array(0.0)) < need:
+            continue  # this GT scale can never reach IoU >= t
+        lo, hi = 0.0, r_a + r_g
+        for _ in range(60):
+            mid = (lo + hi) / 2
+            if _lens_area(r_a, r_g, np.array(mid)) >= need:
+                lo = mid
+            else:
+                hi = mid
+        d_max = max(d_max, lo)
+    return int(np.ceil(d_max / cell + 0.5))
+
+
 def create_anchors(grid_hw: Sequence[int],
                    velo_range: Sequence[float],
                    box_size: Sequence[float],
@@ -151,6 +213,16 @@ def _assign_one_class(gt_boxes: jnp.ndarray,
                       yaws: Sequence[float],
                       ) -> AnchorTargets:
     """Windowed IoU pass for one anchor footprint (see caller)."""
+    required = min_assign_window(grid_hw, velo_range, box_size,
+                                 neg_threshold)
+    if window < required:
+        raise ValueError(
+            f"assign_window={window} under-covers: anchors up to "
+            f"{required} cells from a GT centre cell can still reach "
+            f"IoU >= {neg_threshold} for footprint {tuple(box_size[:2])} "
+            f"on this grid — windowed assignment would silently diverge "
+            f"from the reference spiral semantics "
+            f"(cpp/voxelutil.cpp:165-167). Use window >= {required}.")
     H, W = grid_hw
     A = len(yaws)
     G = gt_boxes.shape[0]

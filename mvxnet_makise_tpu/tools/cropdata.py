@@ -13,6 +13,7 @@ Boundary semantics are identical across modes (half-open range bounds,
 ``imsize - 1e-3`` frustum epsilon — reference Preprocessing.py:34-43).
 
 Usage: python -m mvxnet_makise_tpu.tools.cropdata <dataroot> [mode] [workers]
+       [--config PATH]
 """
 
 from __future__ import annotations
@@ -57,14 +58,19 @@ def crop_frame(points: np.ndarray, calib, cfg: Config,
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    config_path = None
+    if "--config" in argv:
+        i = argv.index("--config")
+        config_path = argv[i + 1]
+        del argv[i:i + 2]
     if not argv:
         print(__doc__)
         return 1
     root = argv[0]
     mode = argv[1] if len(argv) > 1 and argv[1] != "-" else "native"
     workers = int(argv[2]) if len(argv) > 2 else (os.cpu_count() or 4)
-    cfg = load_config(None, data_root=root)
+    cfg = load_config(config_path, data_root=root)
     paths = KittiPaths.from_root(root)
     os.makedirs(paths.velodyne_cropped, exist_ok=True)
 

@@ -110,3 +110,77 @@ def test_dense_assignment_matches_spiral_oracle():
     np.testing.assert_array_equal(t.ignore, not_neg)
     # matched gt index agrees wherever positive
     np.testing.assert_array_equal(t.gt_index[pos], gi[pos])
+
+
+def _full_grid_assign(gts, grid_hw, velo_range, size, neg_thr, pos_thr):
+    """Unwindowed oracle: IoU of every GT against EVERY anchor cell."""
+    from mvxnet_makise_tpu.ops.assign import create_anchors
+
+    anchors = create_anchors(grid_hw, velo_range, size)      # (H, W, 2, 7)
+    H, W, A, _ = anchors.shape
+    aq = bev_corners(anchors.reshape(-1, 7))                 # (HWA, 4, 2)
+    gq = bev_corners(gts)                                    # (G, 4, 2)
+    iou = iou_bev_corners(gq, aq).reshape(len(gts), H, W, A)
+    pos = (iou >= pos_thr).any(0)
+    ign = (iou >= neg_thr).any(0)
+    gi = np.where(iou >= pos_thr,
+                  np.arange(len(gts))[:, None, None, None], -1).max(0)
+    return pos, ign, gi
+
+
+def test_window_guard_raises_on_undersized_window():
+    import pytest
+
+    from mvxnet_makise_tpu.ops.assign import min_assign_window
+
+    req = min_assign_window(CFG.feature_map_shape, CFG.velo_range,
+                            CFG.car_size, CFG.neg_iou_threshold)
+    assert req > 1
+    with pytest.raises(ValueError, match="under-covers"):
+        assign_anchor_targets(
+            jnp.zeros((1, 7)), jnp.ones(1, bool),
+            grid_hw=CFG.feature_map_shape, velo_range=CFG.velo_range,
+            box_size=CFG.car_size, neg_threshold=CFG.neg_iou_threshold,
+            pos_threshold=CFG.pos_iou_threshold, window=req - 1)
+    with pytest.raises(ValueError, match="under-covers"):
+        Config(assign_window=3)
+
+
+def test_min_window_covers_oversized_boxes():
+    """Property: with window >= min_assign_window, windowed assignment
+    equals the unwindowed full-grid pass even for GTs much larger than
+    the anchor footprint (the failure mode the guard exists for)."""
+    from mvxnet_makise_tpu.ops.assign import min_assign_window
+
+    grid_hw = (48, 48)
+    vr = (0.0, -9.6, -3.0, 19.2, 9.6, 1.0)  # 0.4 m cells
+    size = CFG.car_size
+    rng = np.random.default_rng(3)
+    G = 6
+    gts = np.zeros((G, 7), np.float32)
+    gts[:, 0] = rng.uniform(3, 16, G)
+    gts[:, 1] = rng.uniform(-7, 7, G)
+    gts[:, 2] = -1.0
+    # oversized in length (up to 2x); IoU >= neg_thr needs combined area
+    # scale <= 1/neg_thr, so widths stay near 1x — the regime where the
+    # qualifying ring extends furthest from the centre cell
+    gts[:, 3] = size[0] * rng.uniform(1.3, 2.0, G)
+    gts[:, 4] = size[1] * rng.uniform(0.95, 1.1, G)
+    gts[:, 5] = size[2]
+    gts[:, 6] = rng.uniform(-np.pi, np.pi, G)
+    gts[::2, 6] = rng.uniform(-0.2, 0.2, len(gts[::2]))
+
+    req = min_assign_window(grid_hw, vr, size, CFG.neg_iou_threshold)
+    t = jax.tree.map(np.asarray, assign_anchor_targets(
+        jnp.asarray(gts), jnp.ones(G, bool),
+        grid_hw=grid_hw, velo_range=vr, box_size=size,
+        neg_threshold=CFG.neg_iou_threshold,
+        pos_threshold=CFG.pos_iou_threshold, window=req))
+
+    pos, ign, gi = _full_grid_assign(
+        gts, grid_hw, vr, size, CFG.neg_iou_threshold,
+        CFG.pos_iou_threshold)
+    assert ign.sum() > 0
+    np.testing.assert_array_equal(t.pos, pos)
+    np.testing.assert_array_equal(t.ignore, ign)
+    np.testing.assert_array_equal(t.gt_index[pos], gi[pos])
