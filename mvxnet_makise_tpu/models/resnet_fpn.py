@@ -151,14 +151,34 @@ def _conv(sd: Dict[str, Any], key: str, with_bias: bool = False):
 
 def load_torchvision_fpn_weights(state_dict: Dict[str, Any],
                                  stage_sizes: Sequence[int] = (3, 4, 6, 3),
-                                 num_levels: int = 3) -> Dict[str, Any]:
+                                 num_levels: int = 3,
+                                 strict: bool = False) -> Dict[str, Any]:
     """Convert a torchvision FasterRCNN(-v2) ``state_dict`` (or just its
     ``backbone.*`` subset) into a :class:`ResNet50FPN` params pytree.
 
     Accepts keys with or without the ``backbone.`` prefix.  torch tensors
     or numpy arrays both work (anything ``np.asarray`` accepts).
+
+    ``strict=True`` additionally asserts that every input key was
+    consumed by the conversion — catching key-layout mismatches (e.g. a
+    renamed block) *at import time* instead of as silently-random
+    weights.  Keys that are legitimately unused are exempt: BN
+    ``num_batches_tracked`` counters and FPN output blocks beyond
+    ``num_levels`` (the reference consumes pyramid levels '0'..'2' only,
+    /root/reference/modules/imhead/Pipe.py:20).
     """
-    sd = {}
+    consumed = set()
+
+    class _Recording(dict):
+        def __getitem__(self, key):
+            consumed.add(key)
+            return super().__getitem__(key)
+
+        def __contains__(self, key):
+            consumed.add(key)
+            return super().__contains__(key)
+
+    sd = _Recording()
     for k, v in state_dict.items():
         k = k.removeprefix("backbone.")
         if hasattr(v, "detach"):
@@ -194,4 +214,18 @@ def load_torchvision_fpn_weights(state_dict: Dict[str, Any],
         if li < num_levels:
             p[f"fpn_layer{li}"] = _conv(sd, f"fpn.layer_blocks.{li}.0")
             p[f"fpn_layer_bn{li}"] = _fold_bn(sd, f"fpn.layer_blocks.{li}.1")
+
+    if strict:
+        exempt_prefixes = tuple(
+            f"fpn.layer_blocks.{li}." for li in
+            range(num_levels, len(stage_sizes)))
+        leftover = sorted(
+            k for k in dict.keys(sd)
+            if k not in consumed
+            and not k.endswith("num_batches_tracked")
+            and not k.startswith(exempt_prefixes))
+        if leftover:
+            raise ValueError(
+                "torchvision state_dict keys not consumed by the FPN "
+                f"import ({len(leftover)}): {leftover[:8]}...")
     return {"params": p}
