@@ -95,6 +95,11 @@ class Config:
     # mesh axis sizes (data, model); (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
 
+    # dense-grid scatter backend: "xla" (presorted .at[].set) or
+    # "pallas" (ops/pallas_scatter.py block row-writer) — pick by
+    # measurement on the target chip (tools/bench_kernels.py)
+    scatter_backend: str = "xla"
+
     # rematerialize the CML 3D-conv stack in backward (jax.checkpoint):
     # trades one extra forward for the ~720 MB/frame dense-grid
     # activations; enable for large batches

@@ -209,6 +209,7 @@ class MVXNetPM(nn.Module):
     swapped_bilerp: bool = False
     samples_per_voxel: int = 35
     remat: bool = False
+    scatter_backend: str = "xla"
 
     @nn.compact
     def __call__(self, sorted_points: jnp.ndarray,
@@ -246,5 +247,6 @@ class MVXNetPM(nn.Module):
         return VoxelNetBranchPM(
             self.grid_shape, self.anchors_per_loc, self.box_dim,
             self.eps, self.samples_per_voxel, self.remat,
+            self.scatter_backend,
             name="backbone")(x, sorted_kept, sorted_seg, counts, coords,
                              vmask, z0)

@@ -196,6 +196,97 @@ class MiddleConvLayers(nn.Module):
         return x
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_scatter_diff(features, coords, mask, grid_shape):
+    from mvxnet_makise_tpu.ops.pallas_scatter import pallas_scatter_to_grid
+
+    # interpret mode off-TPU so the CPU test suite exercises this path
+    return pallas_scatter_to_grid(features, coords, mask, grid_shape,
+                                  interpret=jax.default_backend() != "tpu")
+
+
+def _pallas_scatter_fwd(features, coords, mask, grid_shape):
+    return _pallas_scatter_diff(features, coords, mask, grid_shape), (
+        coords, mask)
+
+
+def _pallas_scatter_bwd(grid_shape, res, g):
+    # scatter's transpose is a gather: each voxel row's cotangent is the
+    # grid cotangent at its cell (padded rows get zero)
+    coords, mask = res
+    nx, ny, nz = grid_shape
+    flat = coords[:, 2] * (nx * ny) + coords[:, 0] * ny + coords[:, 1]
+    flat = jnp.where(mask, flat, 0)
+    rows = g.reshape(nx * ny * nz, g.shape[-1])[flat]
+    rows = jnp.where(mask[:, None], rows, 0)
+    return rows.astype(g.dtype), None, None
+
+
+_pallas_scatter_diff.defvjp(_pallas_scatter_fwd, _pallas_scatter_bwd)
+
+
+def _scatter(features, coords, mask, grid_shape, backend: str):
+    """Dense-grid scatter with a selectable backend (per-measurement:
+    the Pallas row-writer reaches ~119 GB/s vs XLA's ~105 on v5e).  The
+    Pallas path carries a custom VJP (transpose = row gather) so both
+    backends train."""
+    if backend == "pallas":
+        return _pallas_scatter_diff(features, coords, mask,
+                                    tuple(grid_shape))
+    return scatter_voxels_to_grid(features, coords, mask, grid_shape)
+
+
+class SparseConv1ReluNorm(nn.Module):
+    """CML conv1 computed from sparse voxel rows (ops/sparse_conv.py):
+    27 tap matmuls + scatter-add replace the dense-grid scatter AND the
+    dense 3x3x3 conv over the <1%-occupied (10, H, W, 128) grid.  Param
+    tree identical to ConvReluNorm(name='conv1') — checkpoints
+    interchange with the dense path."""
+    features: int
+    in_features: int
+    grid_shape: Sequence[int] = (352, 400, 10)
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
+                 vmask: jnp.ndarray) -> jnp.ndarray:
+        from mvxnet_makise_tpu.ops.sparse_conv import sparse_conv3d_d2
+
+        kernel, bias = _Conv3DParams(
+            self.features, self.in_features, name="conv")()
+        y = jax.vmap(lambda f, c, m: sparse_conv3d_d2(
+            f, c, m, kernel, bias, self.grid_shape))(vfeat, coords, vmask)
+        y = nn.relu(y)
+        return standardize(y, self.eps)
+
+
+class MiddleConvLayersSparse(nn.Module):
+    """CML with a sparse-input first layer: consumes (vfeat, coords,
+    vmask) directly — the 128-channel dense grid (360 MB/frame bf16 at
+    KITTI shapes) never materializes.  conv2/conv3 stay dense (their
+    input is 4x smaller and much denser).  Same param tree as
+    MiddleConvLayers."""
+    eps: float = 1e-6
+    grid_shape: Sequence[int] = (352, 400, 10)
+
+    @nn.compact
+    def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
+                 vmask: jnp.ndarray) -> jnp.ndarray:
+        x = SparseConv1ReluNorm(
+            64, vfeat.shape[-1], self.grid_shape, self.eps,
+            name="conv1")(vfeat, coords, vmask)              # (B,5,H,W,64)
+        x = ConvReluNorm(64, (3, 3, 3), (1, 1, 1),
+                         ((0, 0), (1, 1), (1, 1)), self.eps,
+                         xavier=False, name="conv2")(x)      # D 5->3
+        x = ConvReluNorm(64, (3, 3, 3), (2, 1, 1),
+                         ((1, 1), (1, 1), (1, 1)), self.eps,
+                         xavier=False, name="conv3")(x)      # D 3->2
+        return x
+
+
 class RPN(nn.Module):
     """Region proposal network: 3 stride-2 conv stages, 3 deconvs back to
     full resolution, concat 768ch, 1x1 cls/reg heads (Pipe.py:45-75)."""
@@ -252,6 +343,7 @@ class VoxelNetBranch(nn.Module):
     box_dim: int = 7
     eps: float = 1e-6
     remat: bool = False
+    scatter_backend: str = "xla"   # "xla" | "pallas" — by measurement
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -268,8 +360,9 @@ class VoxelNetBranch(nn.Module):
         x = jnp.where(mask[..., None], x, 0.0)
 
         dense = jax.vmap(
-            lambda f, c, m: scatter_voxels_to_grid(
-                f, c, m, self.grid_shape))(x, coords, mask)
+            lambda f, c, m: _scatter(
+                f, c, m, self.grid_shape,
+                self.scatter_backend))(x, coords, mask)
         # (B, D, H, W, 128)
         cml_cls = nn.remat(MiddleConvLayers) if self.remat \
             else MiddleConvLayers

@@ -122,6 +122,7 @@ class VoxelNetBranchPM(nn.Module):
     eps: float = 1e-6
     samples_per_voxel: int = 35
     remat: bool = False
+    scatter_backend: str = "xla"   # "xla" | "pallas" — by measurement
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, kept: jnp.ndarray,
@@ -153,9 +154,12 @@ class VoxelNetBranchPM(nn.Module):
                           jnp.maximum(segmax, hz), segmax)
         vfeat = jnp.where(vmask[..., None] & (vfeat > _NEG / 2), vfeat, 0.0)
 
+        from mvxnet_makise_tpu.models.voxelnet import _scatter
+
         dense = jax.vmap(
-            lambda f, c, m: scatter_voxels_to_grid(
-                f, c, m, self.grid_shape))(vfeat, coords, vmask)
+            lambda f, c, m: _scatter(
+                f, c, m, self.grid_shape,
+                self.scatter_backend))(vfeat, coords, vmask)
         cml_cls = nn.remat(MiddleConvLayers) if self.remat \
             else MiddleConvLayers
         y = cml_cls(self.eps, name="cml")(dense)

@@ -3,7 +3,9 @@
 Times each stage in isolation (separate jits, forced host-readback sync)
 on the attached accelerator — the decomposition the reference kept as
 forward/loss/backward counters (train.py:74-77), extended to the stages
-that actually matter here.
+that actually matter here.  Profiles the pm flagship dataflow
+(MVXNetPM); ``--fusion-mode point`` profiles the slot-based point-fusion
+model instead.
 
 Usage: python -m mvxnet_makise_tpu.tools.profile_components [--batch N]
 """
@@ -19,6 +21,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--fusion-mode", default="pm",
+                   choices=["pm", "point"])
     args = p.parse_args(argv)
     B = args.batch
 
@@ -29,14 +33,16 @@ def main(argv=None):
     from mvxnet_makise_tpu.config import Config
     from mvxnet_makise_tpu.data.pipeline import collate, preprocess_frame
     from mvxnet_makise_tpu.data.synthetic import synthetic_frame
-    from mvxnet_makise_tpu.models import MVXNetPointFusion, VoxelNetBranch
     from mvxnet_makise_tpu.models.image_head import (
         PointImageHead, detection_transform)
     from mvxnet_makise_tpu.models.resnet_fpn import ResNet50FPN
+    from mvxnet_makise_tpu.train.loop import build_model_and_state
     from mvxnet_makise_tpu.train.state import cast_for_compute
-    from mvxnet_makise_tpu.train.step import frames_to_batch
+    from mvxnet_makise_tpu.train.step import (_model_inputs,
+                                              cast_batch_for_compute,
+                                              frames_to_batch)
 
-    cfg = Config(use_bf16=True, batch_size=B)
+    cfg = Config(use_bf16=True, batch_size=B, fusion_mode=args.fusion_mode)
     rng = np.random.default_rng(0)
     frames = [preprocess_frame(*synthetic_frame(rng, cfg), cfg)
               for _ in range(B)]
@@ -65,19 +71,16 @@ def main(argv=None):
     zero_gt = (jnp.zeros((B, 1, 7)), jnp.zeros((B, 1), bool))
     bench("voxelize", jax.jit(
         lambda: frames_to_batch(points, nums, images, *zero_gt,
-                                cfg).voxels))
+                                cfg).coords))
 
     batch = frames_to_batch(points, nums, images, *zero_gt, cfg)
-    jax.block_until_ready(batch.voxels)
-    model = MVXNetPointFusion(grid_shape=cfg.voxel_shape,
-                              image_size=cfg.image_size)
-    params = jax.jit(model.init)(
-        jax.random.key(0), batch.voxels, batch.coords, batch.vmask,
-        images, points, batch.point_slots)
+    jax.block_until_ready(batch.coords)
+    model, state = build_model_and_state(cfg, with_images=True)
+    params = state.params
+    del state
     cparams = cast_for_compute(params, True)
-    bvox = batch.voxels.astype(jnp.bfloat16)
+    cbatch = cast_batch_for_compute(batch, True)
     bimg = images.astype(jnp.bfloat16)
-    bpts = points.astype(jnp.bfloat16)
 
     rp = cast_for_compute(
         {"params": params["params"]["head"]["extractor"]}, True)
@@ -87,22 +90,55 @@ def main(argv=None):
 
     hp = cast_for_compute({"params": params["params"]["head"]}, True)
     head = PointImageHead(cfg.image_size)
-    kept = batch.point_slots >= 0
-    nv = jnp.sum(batch.vmask) * cfg.samples_per_voxel - jnp.sum(kept)
+    if args.fusion_mode == "pm":
+        kept = batch.sorted_kept
+        rc = batch.sorted_points[..., 4:6]
+        nv = (jnp.sum(batch.vmask) * cfg.samples_per_voxel
+              - jnp.sum(kept))
+    else:
+        kept = batch.point_slots >= 0
+        rc = batch.points[..., 4:6]
+        nv = (jnp.sum(batch.vmask) * cfg.samples_per_voxel
+              - jnp.sum(kept))
     bench("image_head_total", jax.jit(
-        lambda: head.apply(hp, bimg, bpts[..., 4:6], kept, nv)[0]))
+        lambda: head.apply(hp, bimg, rc, kept, nv)[0]))
 
-    vb = VoxelNetBranch(grid_shape=cfg.voxel_shape)
-    fused = jnp.concatenate(
-        [bvox[..., :7], jnp.zeros((*bvox.shape[:3], 16), jnp.bfloat16)],
-        -1)
-    vbp = cast_for_compute({"params": params["params"]["backbone"]}, True)
-    bench("voxelnet_branch", jax.jit(
-        lambda: vb.apply(vbp, fused, batch.coords, batch.vmask)[0]))
+    # LiDAR branch in the flagship dataflow (image features zeroed)
+    if args.fusion_mode == "pm":
+        from mvxnet_makise_tpu.models.voxelnet_pm import (
+            VoxelNetBranchPM, point_lidar_features)
+
+        pf7 = jax.vmap(point_lidar_features)(
+            batch.sorted_points, batch.sorted_seg, batch.sorted_kept,
+            batch.counts)
+        x23 = jnp.concatenate(
+            [pf7.astype(jnp.bfloat16),
+             jnp.zeros((*pf7.shape[:2], 16), jnp.bfloat16)], -1)
+        z0 = jnp.zeros((B, cfg.max_voxels, 23), jnp.bfloat16)
+        vb = VoxelNetBranchPM(grid_shape=cfg.voxel_shape,
+                              samples_per_voxel=cfg.samples_per_voxel)
+        vbp = cast_for_compute(
+            {"params": params["params"]["backbone"]}, True)
+        bench("voxelnet_branch", jax.jit(
+            lambda: vb.apply(vbp, x23, batch.sorted_kept,
+                             batch.sorted_seg, batch.counts, batch.coords,
+                             batch.vmask, z0)[0]))
+    else:
+        from mvxnet_makise_tpu.models import VoxelNetBranch
+
+        vb = VoxelNetBranch(grid_shape=cfg.voxel_shape)
+        bvox = batch.voxels.astype(jnp.bfloat16)
+        fused = jnp.concatenate(
+            [bvox[..., :7],
+             jnp.zeros((*bvox.shape[:3], 16), jnp.bfloat16)], -1)
+        vbp = cast_for_compute(
+            {"params": params["params"]["backbone"]}, True)
+        bench("voxelnet_branch", jax.jit(
+            lambda: vb.apply(vbp, fused, batch.coords, batch.vmask)[0]))
 
     bench("full_model", jax.jit(
-        lambda: model.apply(cparams, bvox, batch.coords, batch.vmask,
-                            bimg, bpts, batch.point_slots)[0]))
+        lambda: model.apply(cparams,
+                            *_model_inputs(cbatch, True))[0]))
     return 0
 
 

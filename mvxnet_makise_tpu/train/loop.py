@@ -126,7 +126,8 @@ def build_model_and_state(cfg: Config, with_images: bool,
             kw.update(swapped_bilerp=cfg.compat_swapped_bilerp,
                       remat=cfg.remat)
         if cfg.fusion_mode == "pm":
-            kw.update(samples_per_voxel=cfg.samples_per_voxel)
+            kw.update(samples_per_voxel=cfg.samples_per_voxel,
+                      scatter_backend=cfg.scatter_backend)
         model = cls(**kw)
     elif cfg.fusion_mode == "pm":
         from mvxnet_makise_tpu.models import VoxelNetBranchPM
@@ -134,11 +135,13 @@ def build_model_and_state(cfg: Config, with_images: bool,
         model = VoxelNetBranchPM(grid_shape=cfg.voxel_shape,
                                  anchors_per_loc=cfg.anchors_per_loc,
                                  samples_per_voxel=cfg.samples_per_voxel,
-                                 remat=cfg.remat)
+                                 remat=cfg.remat,
+                                 scatter_backend=cfg.scatter_backend)
     else:
         model = VoxelNetBranch(grid_shape=cfg.voxel_shape,
                                anchors_per_loc=cfg.anchors_per_loc,
-                               remat=cfg.remat)
+                               remat=cfg.remat,
+                               scatter_backend=cfg.scatter_backend)
 
     V, T = cfg.max_voxels, cfg.samples_per_voxel
     dummy_vox = jnp.zeros((1, V, T, 9 if with_images else 7))
