@@ -184,7 +184,11 @@ def main():
         fpts, fcalib, fimage, _ = synthetic_frame(rng2, cfg)
         raw_frames.append((fpts, fcalib, fimage))
 
-    # host-feed cost (per batch)
+    # host-feed cost (per batch) — warm up first so the lazy ctypes
+    # extension build (g++, ~seconds) happens outside the timed region
+    native.assemble_frame(raw_frames[0][0], raw_frames[0][1],
+                          cfg.velo_range, cfg.image_size, cfg.max_points,
+                          seed=0)
     t0 = time.perf_counter()
     host_reps = max(args.iters // 4, 1)
     for _ in range(host_reps):
@@ -196,10 +200,16 @@ def main():
     run = det._pipeline(args.batch)
     out = run(det.params, points, num_points, images)
     jax.device_get(out)
+    # steady-state serving loop: dispatch batch i+1 before pulling batch
+    # i's detections, so the (relay-expensive) host readback overlaps the
+    # next batch's device execution — jax dispatch is async
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = run(det.params, points, num_points, images)
-        dets = jax.device_get(out)
+    prev = run(det.params, points, num_points, images)
+    for _ in range(args.iters - 1):
+        nxt = run(det.params, points, num_points, images)
+        dets = jax.device_get(prev)
+        prev = nxt
+    dets = jax.device_get(prev)
     dev_dt = (time.perf_counter() - t0) / args.iters
     # scores are sigmoid-bounded; boxes may overflow under random
     # init-weight deltas (exp of an untrained reg head) — not a timing

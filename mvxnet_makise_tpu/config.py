@@ -95,10 +95,28 @@ class Config:
     # mesh axis sizes (data, model); (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
 
-    # dense-grid scatter backend: "xla" (presorted .at[].set) or
-    # "pallas" (ops/pallas_scatter.py block row-writer) — pick by
-    # measurement on the target chip (tools/bench_kernels.py)
-    scatter_backend: str = "xla"
+    # dense-grid scatter backend: "auto" | "xla" (presorted .at[].set) |
+    # "pallas" (ops/pallas_scatter.py block row-writer).  The pallas
+    # kernel wins in isolation (24 vs 33 ms/batch-8 on v5e) but loses
+    # in model context (scheduling barrier vs XLA's overlap), so auto
+    # resolves to xla — see models/voxelnet._scatter.
+    scatter_backend: str = "auto"
+
+    # CML first-layer formulation: "dense3d" = scatter + strided 3D
+    # conv (the measured-fastest: conv1 is output-channel-bound at
+    # N=64, so reformulations cannot beat it); "banded" scatters voxels
+    # straight into conv1's depth-banded im2col layout and runs ONE 2D
+    # conv — identical math/params, measured slower in-model on v5e
+    # (137 vs 88 ms LiDAR branch: the 1.2x scatter table and 1.5x conv
+    # input reads outweigh any MXU gain).  Kept as a tested variant.
+    cml_mode: str = "dense3d"
+
+    # FPN bilinear-gather backend for the image branch: "auto" | "xla"
+    # (ops/gather.py patch-row gather) | "pallas" (ops/pallas_gather.py
+    # banded selector-matmul kernel).  The kernel measured slower at
+    # KITTI shapes (88 vs 63 ms/batch-8 head time on v5e), so auto
+    # resolves to xla — see models/image_head.PointImageHead.
+    gather_backend: str = "auto"
 
     # rematerialize the CML 3D-conv stack in backward (jax.checkpoint):
     # trades one extra forward for the ~720 MB/frame dense-grid

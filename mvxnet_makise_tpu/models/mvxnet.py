@@ -86,6 +86,7 @@ class MVXNetPointFusion(nn.Module):
     eps: float = 1e-6
     swapped_bilerp: bool = False
     remat: bool = False
+    gather_backend: str = "auto"
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -105,6 +106,7 @@ class MVXNetPointFusion(nn.Module):
 
         feats, z = PointImageHead(
             self.image_size, self.eps, self.swapped_bilerp,
+            self.gather_backend,
             name="head")(images, points[..., 4:6], kept, n_virtual)
         # (B, P, 16), (16,)
 
@@ -209,7 +211,9 @@ class MVXNetPM(nn.Module):
     swapped_bilerp: bool = False
     samples_per_voxel: int = 35
     remat: bool = False
-    scatter_backend: str = "xla"
+    scatter_backend: str = "auto"
+    gather_backend: str = "auto"
+    cml_mode: str = "dense3d"
 
     @nn.compact
     def __call__(self, sorted_points: jnp.ndarray,
@@ -232,6 +236,7 @@ class MVXNetPM(nn.Module):
         n_virtual = jnp.sum(vmask) * T - jnp.sum(sorted_kept)
         imfeat, z16 = PointImageHead(
             self.image_size, self.eps, self.swapped_bilerp,
+            self.gather_backend,
             name="head")(images, sorted_points[..., 4:6], sorted_kept,
                          n_virtual)
 
@@ -247,6 +252,6 @@ class MVXNetPM(nn.Module):
         return VoxelNetBranchPM(
             self.grid_shape, self.anchors_per_loc, self.box_dim,
             self.eps, self.samples_per_voxel, self.remat,
-            self.scatter_backend,
+            self.scatter_backend, self.cml_mode,
             name="backbone")(x, sorted_kept, sorted_seg, counts, coords,
                              vmask, z0)

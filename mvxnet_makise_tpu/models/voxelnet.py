@@ -229,10 +229,16 @@ _pallas_scatter_diff.defvjp(_pallas_scatter_fwd, _pallas_scatter_bwd)
 
 
 def _scatter(features, coords, mask, grid_shape, backend: str):
-    """Dense-grid scatter with a selectable backend (per-measurement:
-    the Pallas row-writer reaches ~119 GB/s vs XLA's ~105 on v5e).  The
+    """Dense-grid scatter with a selectable backend.  The Pallas
+    row-writer wins in isolation on v5e (24 vs 33 ms/batch-8, real
+    coords) but *loses in model context* (full LiDAR branch 96 vs
+    87 ms): the pallas_call is a scheduling barrier, while XLA overlaps
+    its scatter with neighbouring ops.  ``auto`` therefore resolves to
+    xla; the kernel stays selectable for future fused revisions.  The
     Pallas path carries a custom VJP (transpose = row gather) so both
     backends train."""
+    if backend == "auto":
+        backend = "xla"
     if backend == "pallas":
         return _pallas_scatter_diff(features, coords, mask,
                                     tuple(grid_shape))
@@ -261,6 +267,66 @@ class SparseConv1ReluNorm(nn.Module):
             f, c, m, kernel, bias, self.grid_shape))(vfeat, coords, vmask)
         y = nn.relu(y)
         return standardize(y, self.eps)
+
+
+class Conv1ScatterBandedReluNorm(nn.Module):
+    """CML conv1 consuming the depth-banded scatter layout
+    (ops/scatter.scatter_voxels_to_conv1_bands): ONE NHWC 2D conv of
+    kernel (3, 3, 3*C_in) replaces the strided-depth 3D conv at
+    identical math.  Measured on v5e it does NOT beat the 3D form
+    in-model (conv1 is output-channel bound at N=64 either way, and the
+    banded input costs 1.5x the reads) — kept as a tested variant.
+    Parameter tree identical to ConvReluNorm(name='conv1');
+    checkpoints interchange."""
+    features: int
+    in_features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, banded: jnp.ndarray) -> jnp.ndarray:
+        """banded: (B, d_out, H, W, 3*C_in) kd-major channel blocks.
+        Returns (B, d_out, H, W, features)."""
+        kernel, bias = _Conv3DParams(
+            self.features, self.in_features, name="conv")()
+        B, d_out, H, W, C3 = banded.shape
+        # (kd, kh, kw, I, O) -> (kh, kw, kd*I, O): kd-major channel
+        # blocks match the scatter's slot layout
+        k2d = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(
+            3, 3, C3, self.features)
+        y = jax.lax.conv_general_dilated(
+            banded.reshape(B * d_out, H, W, C3), k2d,
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.relu((y + bias).reshape(B, d_out, H, W, self.features))
+        return standardize(y, self.eps)
+
+
+class MiddleConvLayersBanded(nn.Module):
+    """CML with the banded-scatter first layer: consumes the voxel rows
+    directly, the 10-slice dense grid never materializes, and conv1 is
+    a single fast 2D conv (Conv1ScatterBandedReluNorm).  conv2/conv3
+    stay 3D (their shapes already run near the MXU ceiling).  Same
+    parameter tree as MiddleConvLayers."""
+    eps: float = 1e-6
+    grid_shape: Sequence[int] = (352, 400, 10)
+
+    @nn.compact
+    def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
+                 vmask: jnp.ndarray) -> jnp.ndarray:
+        from mvxnet_makise_tpu.ops.scatter import (
+            scatter_voxels_to_conv1_bands)
+
+        banded = jax.vmap(lambda f, c, m: scatter_voxels_to_conv1_bands(
+            f, c, m, self.grid_shape))(vfeat, coords, vmask)
+        x = Conv1ScatterBandedReluNorm(
+            64, vfeat.shape[-1], self.eps, name="conv1")(banded)
+        x = ConvReluNorm(64, (3, 3, 3), (1, 1, 1),
+                         ((0, 0), (1, 1), (1, 1)), self.eps,
+                         xavier=False, name="conv2")(x)      # D 5->3
+        x = ConvReluNorm(64, (3, 3, 3), (2, 1, 1),
+                         ((1, 1), (1, 1), (1, 1)), self.eps,
+                         xavier=False, name="conv3")(x)      # D 3->2
+        return x
 
 
 class MiddleConvLayersSparse(nn.Module):
@@ -343,7 +409,8 @@ class VoxelNetBranch(nn.Module):
     box_dim: int = 7
     eps: float = 1e-6
     remat: bool = False
-    scatter_backend: str = "xla"   # "xla" | "pallas" — by measurement
+    scatter_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    cml_mode: str = "dense3d"      # "dense3d" | "banded"
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -359,14 +426,20 @@ class VoxelNetBranch(nn.Module):
         x = jnp.max(x, axis=-2)                                 # (B, V, 128)
         x = jnp.where(mask[..., None], x, 0.0)
 
-        dense = jax.vmap(
-            lambda f, c, m: _scatter(
-                f, c, m, self.grid_shape,
-                self.scatter_backend))(x, coords, mask)
-        # (B, D, H, W, 128)
-        cml_cls = nn.remat(MiddleConvLayers) if self.remat \
-            else MiddleConvLayers
-        x = cml_cls(self.eps, name="cml")(dense)                # (B,2,H,W,64)
+        if self.cml_mode == "banded":
+            cml_cls = nn.remat(MiddleConvLayersBanded) if self.remat \
+                else MiddleConvLayersBanded
+            x = cml_cls(self.eps, tuple(self.grid_shape),
+                        name="cml")(x, coords, mask)
+        else:
+            dense = jax.vmap(
+                lambda f, c, m: _scatter(
+                    f, c, m, self.grid_shape,
+                    self.scatter_backend))(x, coords, mask)
+            # (B, D, H, W, 128)
+            cml_cls = nn.remat(MiddleConvLayers) if self.remat \
+                else MiddleConvLayers
+            x = cml_cls(self.eps, name="cml")(dense)            # (B,2,H,W,64)
         B, D, H, W, C = x.shape
         # fold depth into channels with torch's (C, D) flattening order
         # (reference VoxelNet.py:36 reshapes NCDHW -> N,C*D,H,W), so

@@ -122,7 +122,8 @@ class VoxelNetBranchPM(nn.Module):
     eps: float = 1e-6
     samples_per_voxel: int = 35
     remat: bool = False
-    scatter_backend: str = "xla"   # "xla" | "pallas" — by measurement
+    scatter_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    cml_mode: str = "dense3d"      # "dense3d" | "banded"
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, kept: jnp.ndarray,
@@ -154,15 +155,22 @@ class VoxelNetBranchPM(nn.Module):
                           jnp.maximum(segmax, hz), segmax)
         vfeat = jnp.where(vmask[..., None] & (vfeat > _NEG / 2), vfeat, 0.0)
 
-        from mvxnet_makise_tpu.models.voxelnet import _scatter
+        from mvxnet_makise_tpu.models.voxelnet import (
+            MiddleConvLayersBanded, _scatter)
 
-        dense = jax.vmap(
-            lambda f, c, m: _scatter(
-                f, c, m, self.grid_shape,
-                self.scatter_backend))(vfeat, coords, vmask)
-        cml_cls = nn.remat(MiddleConvLayers) if self.remat \
-            else MiddleConvLayers
-        y = cml_cls(self.eps, name="cml")(dense)
+        if self.cml_mode == "banded":
+            cml_cls = nn.remat(MiddleConvLayersBanded) if self.remat \
+                else MiddleConvLayersBanded
+            y = cml_cls(self.eps, tuple(self.grid_shape),
+                        name="cml")(vfeat, coords, vmask)
+        else:
+            dense = jax.vmap(
+                lambda f, c, m: _scatter(
+                    f, c, m, self.grid_shape,
+                    self.scatter_backend))(vfeat, coords, vmask)
+            cml_cls = nn.remat(MiddleConvLayers) if self.remat \
+                else MiddleConvLayers
+            y = cml_cls(self.eps, name="cml")(dense)
         Bd, D, H, W, C = y.shape
         y = jnp.transpose(y, (0, 2, 3, 4, 1)).reshape(Bd, H, W, C * D)
         return RPN(self.anchors_per_loc, self.box_dim, self.eps,

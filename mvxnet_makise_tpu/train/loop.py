@@ -125,9 +125,12 @@ def build_model_and_state(cfg: Config, with_images: bool,
         if cfg.fusion_mode != "voxel":
             kw.update(swapped_bilerp=cfg.compat_swapped_bilerp,
                       remat=cfg.remat)
+        if cfg.fusion_mode in ("pm", "point"):
+            kw.update(gather_backend=cfg.gather_backend)
         if cfg.fusion_mode == "pm":
             kw.update(samples_per_voxel=cfg.samples_per_voxel,
-                      scatter_backend=cfg.scatter_backend)
+                      scatter_backend=cfg.scatter_backend,
+                      cml_mode=cfg.cml_mode)
         model = cls(**kw)
     elif cfg.fusion_mode == "pm":
         from mvxnet_makise_tpu.models import VoxelNetBranchPM
@@ -136,12 +139,14 @@ def build_model_and_state(cfg: Config, with_images: bool,
                                  anchors_per_loc=cfg.anchors_per_loc,
                                  samples_per_voxel=cfg.samples_per_voxel,
                                  remat=cfg.remat,
-                                 scatter_backend=cfg.scatter_backend)
+                                 scatter_backend=cfg.scatter_backend,
+                                 cml_mode=cfg.cml_mode)
     else:
         model = VoxelNetBranch(grid_shape=cfg.voxel_shape,
                                anchors_per_loc=cfg.anchors_per_loc,
                                remat=cfg.remat,
-                               scatter_backend=cfg.scatter_backend)
+                               scatter_backend=cfg.scatter_backend,
+                               cml_mode=cfg.cml_mode)
 
     V, T = cfg.max_voxels, cfg.samples_per_voxel
     dummy_vox = jnp.zeros((1, V, T, 9 if with_images else 7))
