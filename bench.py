@@ -57,6 +57,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mvxnet_makise_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+
     from mvxnet_makise_tpu.config import Config
     from mvxnet_makise_tpu.data.pipeline import collate, preprocess_frame
     from mvxnet_makise_tpu.data.synthetic import synthetic_frame

@@ -33,6 +33,97 @@ def toy_calib(image_size=(370, 1224)) -> Calib:
     return Calib(velo_to_cam=v2c, P2=p2, R0=r0)
 
 
+def _ground_points(rng: np.random.Generator, cfg: Config,
+                   n_ground: int) -> np.ndarray:
+    """Ground-plane points inside the frustum, denser near the sensor."""
+    x0, y0, z0, x1, y1, z1 = cfg.velo_range
+    gx = x0 + (x1 - x0) * rng.power(2.0, n_ground)
+    gy = rng.uniform(-0.9, 0.9, n_ground) * gx * 0.8
+    gy = np.clip(gy, y0 + 0.01, y1 - 0.01)
+    gz = rng.normal(-1.7, 0.05, n_ground)
+    return np.stack([gx, gy, gz], axis=1)
+
+
+def _box_surface_points(rng: np.random.Generator, b: np.ndarray,
+                        n: int) -> np.ndarray:
+    """Sample n points on the surface of box (x y z l w h r)."""
+    local = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    # push to the nearest surface
+    face = rng.integers(0, 3, n)
+    sign = rng.choice([-0.5, 0.5], n)
+    local[np.arange(n), face] = sign
+    local *= b[3:6]
+    c, s = np.cos(b[6]), np.sin(b[6])
+    # match the reference rotation convention (row @ [[c,-s],[s,c]])
+    rx = local[:, 0] * c + local[:, 1] * s
+    ry = -local[:, 0] * s + local[:, 1] * c
+    return np.stack([rx + b[0], ry + b[1],
+                     local[:, 2] + b[2] + b[5] / 2], axis=1)
+
+
+def _random_boxes(rng: np.random.Generator, cfg: Config, n: int,
+                  size) -> np.ndarray:
+    """n ground-standing boxes of roughly the given (l, w, h) inside the
+    camera frustum and cfg.velo_range."""
+    x0, y0, z0, x1, y1, z1 = cfg.velo_range
+    boxes = np.zeros((n, 7), dtype=np.float32)
+    boxes[:, 0] = rng.uniform(6, x1 * 0.9, n)
+    boxes[:, 1] = rng.uniform(-0.5, 0.5, n) * boxes[:, 0] * 0.8
+    boxes[:, 1] = np.clip(boxes[:, 1], y0 * 0.9, y1 * 0.9)
+    boxes[:, 2] = rng.uniform(-1.8, -1.4, n)
+    boxes[:, 3:6] = np.asarray(size) * \
+        rng.uniform(0.9, 1.15, (n, 3)).astype(np.float32)
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    return boxes
+
+
+def synthetic_frame_multiclass(rng: np.random.Generator,
+                               cfg: Config,
+                               counts=None,
+                               num_points: int = 18000):
+    """Multi-class synthetic frame for cfg.target_classes.
+
+    Returns (points (N, 4), calib, image, {class: (G_c, 7) boxes}).
+    Default object counts: 6 per large class (Car-like), 4 per small
+    class; dense surface sampling so small objects carry enough points
+    to be learnable.  Geometry/statistics follow synthetic_frame.
+    """
+    calib = toy_calib(cfg.image_size)
+    if counts is None:
+        counts = {c: (6 if s[0] > 3.0 else 4)
+                  for c, s in zip(cfg.target_classes, cfg.anchor_sizes)}
+
+    boxes_by_class = {}
+    all_pts = []
+    n_objects = sum(counts.values())
+    n_box_pts = int(num_points * 0.35)
+    for cls, size in zip(cfg.target_classes, cfg.anchor_sizes):
+        n = counts.get(cls, 0)
+        boxes = _random_boxes(rng, cfg, n, size)
+        boxes_by_class[cls] = boxes
+        per_box = max(n_box_pts // max(n_objects, 1), 40)
+        for b in boxes:
+            all_pts.append(_box_surface_points(rng, b, per_box))
+
+    ground = _ground_points(rng, cfg, num_points - n_box_pts)
+    cloud = np.concatenate([ground] + all_pts, axis=0)
+
+    x0, y0, z0, x1, y1, z1 = cfg.velo_range
+    lo = np.asarray([x0, y0, z0])
+    hi = np.asarray([x1, y1, z1])
+    keep = np.all((cloud >= lo) & (cloud < hi - 1e-4), axis=1)
+    cloud = cloud[keep]
+    refl = rng.uniform(0, 1, (len(cloud), 1)).astype(np.float32)
+    points = np.concatenate([cloud.astype(np.float32), refl], axis=1)
+
+    from mvxnet_makise_tpu.data.native import crop_project_numpy
+
+    points = crop_project_numpy(
+        points, calib, cfg.velo_range, cfg.image_size)[:, :4]
+    image = rng.uniform(0, 1, (*cfg.image_size, 3)).astype(np.float32)
+    return points, calib, image, boxes_by_class
+
+
 def synthetic_frame(rng: np.random.Generator,
                     cfg: Config,
                     num_cars: int = 8,
@@ -59,30 +150,9 @@ def synthetic_frame(rng: np.random.Generator,
     n_box_pts = int(num_points * 0.35)
     n_ground = num_points - n_box_pts
 
-    # ground plane points, denser near the sensor
-    gx = x0 + (x1 - x0) * rng.power(2.0, n_ground)
-    gy = rng.uniform(-0.9, 0.9, n_ground) * gx * 0.8
-    gy = np.clip(gy, y0 + 0.01, y1 - 0.01)
-    gz = rng.normal(-1.7, 0.05, n_ground)
-    ground = np.stack([gx, gy, gz], axis=1)
-
-    # car surface points: sample box-local faces and rotate out
+    ground = _ground_points(rng, cfg, n_ground)
     per_box = n_box_pts // num_cars
-    box_pts = []
-    for b in boxes:
-        local = rng.uniform(-0.5, 0.5, (per_box, 3)).astype(np.float32)
-        # push to the nearest surface
-        face = rng.integers(0, 3, per_box)
-        sign = rng.choice([-0.5, 0.5], per_box)
-        local[np.arange(per_box), face] = sign
-        local *= b[3:6]
-        c, s = np.cos(b[6]), np.sin(b[6])
-        # match the reference rotation convention (row @ [[c,-s],[s,c]])
-        rx = local[:, 0] * c + local[:, 1] * s
-        ry = -local[:, 0] * s + local[:, 1] * c
-        pts = np.stack([rx + b[0], ry + b[1],
-                        local[:, 2] + b[2] + b[5] / 2], axis=1)
-        box_pts.append(pts)
+    box_pts = [_box_surface_points(rng, b, per_box) for b in boxes]
     cloud = np.concatenate([ground] + box_pts, axis=0)
 
     # clip to range

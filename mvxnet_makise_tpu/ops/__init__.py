@@ -9,6 +9,9 @@ from mvxnet_makise_tpu.ops.assign import (  # noqa: F401
     create_anchors,
     assign_anchor_targets,
 )
-from mvxnet_makise_tpu.ops.scatter import scatter_voxels_to_grid  # noqa: F401
+from mvxnet_makise_tpu.ops.scatter import (  # noqa: F401
+    scatter_voxels_to_conv1_bands,
+    scatter_voxels_to_grid,
+)
 from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn  # noqa: F401
 from mvxnet_makise_tpu.ops.nms import rotated_nms_bev  # noqa: F401

@@ -45,7 +45,14 @@ class Detector:
     def __init__(self, cfg: Config, model, params,
                  with_images: bool = True,
                  score_threshold: float = 0.3,
-                 nms_iou_threshold: float = 0.1):
+                 nms_iou_threshold: float = 0.1,
+                 mesh=None):
+        """``mesh``: optional jax.sharding Mesh (parallel/mesh.make_mesh)
+        for data-parallel inference — the batch axis shards over the
+        mesh's 'data' axis, parameters shard by the standard rules
+        (replicated + output-channel splits on 'model'), and XLA SPMD
+        inserts all collectives.  Batch size must divide the data-axis
+        size."""
         self.cfg = cfg
         self.model = model
         self.params = params
@@ -54,6 +61,11 @@ class Detector:
             cfg.feature_map_shape, cfg.velo_range, cfg.anchor_sizes))
         self.score_threshold = score_threshold
         self.nms_iou_threshold = nms_iou_threshold
+        self.mesh = mesh
+        if mesh is not None:
+            from mvxnet_makise_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, mesh)
         self._compiled = {}
 
     @classmethod
@@ -63,6 +75,10 @@ class Detector:
                **kw) -> "Detector":
         from mvxnet_makise_tpu.train import checkpoint as ckpt
         from mvxnet_makise_tpu.train.loop import build_model_and_state
+        from mvxnet_makise_tpu.utils.compile_cache import (
+            enable_persistent_cache)
+
+        enable_persistent_cache()
 
         model, state = build_model_and_state(cfg, with_images)
         if checkpoint_epoch is None:
@@ -84,7 +100,6 @@ class Detector:
             cast_batch_for_compute,
         )
 
-        @jax.jit
         def run(params, points, num_points, images):
             batch = frames_to_batch(
                 points, num_points, images,
@@ -99,23 +114,52 @@ class Detector:
                 self.anchors, score_threshold=self.score_threshold,
                 nms_iou_threshold=self.nms_iou_threshold))(score, reg)
 
+        if self.mesh is not None:
+            from mvxnet_makise_tpu.parallel.mesh import (
+                batch_sharding, param_sharding)
+
+            bsh = batch_sharding(self.mesh)
+            run = jax.jit(
+                run,
+                in_shardings=(param_sharding(self.params, self.mesh),
+                              bsh, bsh, bsh),
+                out_shardings=bsh)
+        else:
+            run = jax.jit(run)
+
         self._compiled[batch_size] = run
         return run
 
     # -- host API -----------------------------------------------------------
+
+    def warm(self, batch_sizes: Sequence[int] = (1, 2, 4, 8)) -> None:
+        """Pre-compile a pool of batch sizes.  After warming,
+        ``detect_frames`` pads any request up to the smallest pooled
+        size that fits instead of triggering a new compilation — the
+        standard serving pattern for mixed-size request streams."""
+        for b in sorted(set(batch_sizes)):
+            self._pipeline(b)
+
+    def _pool_size(self, n: int) -> int:
+        """Smallest compiled batch size >= n, else n (new compile)."""
+        fits = [b for b in self._compiled if b >= n]
+        return min(fits) if fits else n
 
     def detect_frames(self, frames: Sequence[Tuple[np.ndarray, Calib,
                                                    Optional[np.ndarray]]]
                       ) -> List[FrameDetections]:
         """frames: list of (points (N, >=4), calib, image or None).
         Points may be raw scans — the native crop+project handles
-        range/frustum filtering."""
+        range/frustum filtering.  If batch-size pools were warmed
+        (:meth:`warm`), the request is padded to the nearest pool size
+        and the padding results dropped."""
         cfg = self.cfg
-        B = len(frames)
+        n_real = len(frames)
+        B = self._pool_size(n_real)
         pts = np.zeros((B, cfg.max_points, 6), np.float32)
         nums = np.zeros((B,), np.int32)
         imgs = np.zeros((B, *cfg.image_size, 3), np.float32)
-        for i, (points, calib, image) in enumerate(frames):
+        for i, (points, calib, image) in enumerate(frames[:n_real]):
             buf, n = native.assemble_frame(
                 points, calib, cfg.velo_range, cfg.image_size,
                 cfg.max_points, seed=0)
@@ -131,7 +175,7 @@ class Detector:
         det = jax.device_get(run(self.params, jnp.asarray(pts),
                                  jnp.asarray(nums), jnp.asarray(imgs)))
         out = []
-        for b in range(B):
+        for b in range(n_real):
             v = det.valid[b]
             out.append(FrameDetections(
                 boxes=det.boxes[b][v], scores=det.scores[b][v],

@@ -39,6 +39,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from mvxnet_makise_tpu.config import load_config
+    from mvxnet_makise_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
 
     overrides = {"num_epochs": args.numepochs}
     if args.dataroot:
@@ -53,18 +57,37 @@ def main(argv=None):
 
     if args.synthetic:
         from mvxnet_makise_tpu.data.kitti import KittiFrame
-        from mvxnet_makise_tpu.data.synthetic import synthetic_frame
+        from mvxnet_makise_tpu.data.synthetic import (
+            synthetic_frame,
+            synthetic_frame_multiclass,
+        )
 
-        eval_frames = None
+        multiclass = len(cfg.target_classes) > 1
         rng = np.random.default_rng(cfg.seed)
-        frames = []
-        for i in range(args.synthetic):
-            pts, calib, image, boxes = synthetic_frame(rng, cfg)
-            frames.append(KittiFrame(
+
+        def make(i):
+            if multiclass:
+                pts, calib, image, by_cls = synthetic_frame_multiclass(
+                    rng, cfg)
+            else:
+                pts, calib, image, boxes = synthetic_frame(rng, cfg)
+                by_cls = {"Car": boxes}
+            return KittiFrame(
                 frame_id=f"synth{i:06d}", points=pts, image=image,
-                calib=calib, boxes={"Car": boxes},
-                bbox2d={"Car": np.zeros((len(boxes), 4), np.float32)},
-                difficulty={"Car": np.ones(len(boxes), np.int32)}))
+                calib=calib, boxes=by_cls,
+                bbox2d={c: np.zeros((len(b), 4), np.float32)
+                        for c, b in by_cls.items()},
+                difficulty={c: np.ones(len(b), np.int32)
+                            for c, b in by_cls.items()})
+
+        frames = [make(i) for i in range(args.synthetic)]
+        # a held-out synthetic val split so --eval-every works without
+        # a dataset (same generator, fresh draws)
+        eval_frames = None
+        if args.eval_every:
+            n_eval = args.eval_limit or max(args.synthetic // 4, 2)
+            frames_off = len(frames)
+            eval_frames = [make(frames_off + i) for i in range(n_eval)]
         gt_db = None
     else:
         if not args.dataroot or not os.path.isdir(args.dataroot):

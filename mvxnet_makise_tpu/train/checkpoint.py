@@ -29,13 +29,20 @@ def _path(checkpoint_dir: str, epoch: int) -> str:
 
 def save_checkpoint(checkpoint_dir: str, epoch: int,
                     state: TrainState) -> str:
-    """Save (params, opt_state, step) for `epoch`.  Returns the path."""
+    """Save (params, opt_state, step) for `epoch`.  Returns the path.
+
+    Device state is snapshotted with utils.relay_io's packed transfer —
+    one readback per dtype instead of one per leaf, which on
+    remote/relayed accelerators is the difference between seconds and
+    minutes (measured: 227 s leaf-wise vs 15 s packed for 135 MB)."""
+    from mvxnet_makise_tpu.utils.relay_io import tree_device_get_packed
+
     os.makedirs(checkpoint_dir, exist_ok=True)
     path = _path(checkpoint_dir, epoch)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, {
-            "params": jax.device_get(state.params),
-            "opt_state": jax.device_get(state.opt_state),
+            "params": tree_device_get_packed(state.params),
+            "opt_state": tree_device_get_packed(state.opt_state),
             "step": np.asarray(state.step),
             "epoch": np.asarray(epoch),
         }, force=True)
@@ -44,11 +51,17 @@ def save_checkpoint(checkpoint_dir: str, epoch: int,
 
 def restore_checkpoint(checkpoint_dir: str, epoch: int,
                        state: TrainState) -> TrainState:
-    """Restore into an existing (template) TrainState."""
+    """Restore into an existing (template) TrainState.
+
+    The template is built from shape/dtype metadata only (no device
+    readback); restored values are numpy and move to the device lazily
+    at first use (uploads are async-pipelined, unlike readbacks)."""
+    from mvxnet_makise_tpu.utils.relay_io import tree_host_template
+
     path = _path(checkpoint_dir, epoch)
     template = {
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": tree_host_template(state.params),
+        "opt_state": tree_host_template(state.opt_state),
         "step": np.asarray(state.step),
         "epoch": np.asarray(epoch),
     }
