@@ -82,6 +82,9 @@ class Config:
     use_bf16: bool = False
     seed: int = 0
     checkpoint_dir: str = "./checkpoints"
+    # keep only the newest N per-epoch checkpoints (0 = keep all); a
+    # full fusion checkpoint is ~180 MB
+    checkpoint_keep_last: int = 10
 
     # ---- data ----
     data_root: str = "./data/kitti"

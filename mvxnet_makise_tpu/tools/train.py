@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=0, metavar="N",
                    help="run val-split AP every N epochs (0 = off)")
     p.add_argument("--eval-limit", type=int, default=None)
+    p.add_argument("--max-seconds", type=float, default=None,
+                   help="stop cleanly after the last full epoch once "
+                        "this wall-clock budget is spent")
     p.add_argument("--image-weights", default=None,
                    help="torch state_dict file for the ResNet50-FPN "
                         "extractor (torchvision fasterrcnn_resnet50_fpn_v2)")
@@ -125,7 +128,8 @@ def main(argv=None):
     train(cfg, frames, gt_db=gt_db, with_images=not args.lidar_only,
           resume_epoch=args.resume, image_weights=image_weights,
           eval_frames=eval_frames if args.eval_every else None,
-          eval_every=max(args.eval_every, 1))
+          eval_every=max(args.eval_every, 1),
+          time_budget_s=args.max_seconds)
     return 0
 
 

@@ -72,6 +72,27 @@ def restore_checkpoint(checkpoint_dir: str, epoch: int,
                          step=restored["step"])
 
 
+def prune_checkpoints(checkpoint_dir: str, keep_last: int) -> None:
+    """Delete all but the newest ``keep_last`` epoch checkpoints
+    (plus any stale ``.orbax-checkpoint-tmp`` leftovers from killed
+    runs).  A full fusion-model checkpoint is ~180 MB; per-epoch saves
+    accumulate fast on long runs."""
+    import shutil
+
+    if not os.path.isdir(checkpoint_dir):
+        return
+    epochs = []
+    for name in os.listdir(checkpoint_dir):
+        full = os.path.join(checkpoint_dir, name)
+        if name.endswith(".orbax-checkpoint-tmp"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith("epoch") and name[5:].isdigit():
+            epochs.append(int(name[5:]))
+    for e in sorted(epochs)[:-keep_last] if keep_last > 0 else []:
+        shutil.rmtree(os.path.join(checkpoint_dir, f"epoch{e}"),
+                      ignore_errors=True)
+
+
 def latest_epoch(checkpoint_dir: str) -> Optional[int]:
     """Highest epoch number present, or None."""
     if not os.path.isdir(checkpoint_dir):

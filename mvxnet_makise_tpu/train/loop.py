@@ -199,6 +199,19 @@ def _install_image_weights(params, torch_state_dict):
     return params
 
 
+def _flush_metrics(tracker, pending) -> None:
+    """Move accumulated on-device step metrics to the tracker with one
+    packed readback (per-step scalar fetches cost a full round trip
+    per leaf on relayed backends — see utils/relay_io)."""
+    if not pending:
+        return
+    from mvxnet_makise_tpu.utils.relay_io import tree_device_get_packed
+
+    for m in tree_device_get_packed(list(pending)):
+        tracker.update(m)
+    pending.clear()
+
+
 def train(cfg: Config,
           frames: Sequence[KittiFrame],
           *,
@@ -210,8 +223,19 @@ def train(cfg: Config,
           log_every: int = 50,
           workers: Optional[int] = None,
           eval_frames: Optional[Sequence[KittiFrame]] = None,
-          eval_every: int = 1) -> TrainState:
-    """Run the training loop over in-RAM frames.  Returns final state."""
+          eval_every: int = 1,
+          time_budget_s: Optional[float] = None) -> TrainState:
+    """Run the training loop over in-RAM frames.  Returns final state.
+
+    ``time_budget_s``: stop cleanly after the last fully-checkpointed
+    epoch once the wall-clock budget is spent.  For schedulers that
+    enforce hard job deadlines, a clean early exit (checkpoint intact,
+    device connection closed) beats being SIGKILLed mid-save — killed
+    runs can leave partial orbax tmp dirs and, on remote/relayed
+    accelerators, a stale device lease that stalls the next job."""
+    import time as _time
+
+    t_start = _time.monotonic()
     num_epochs = num_epochs or cfg.num_epochs
     anchors = create_anchors(cfg.feature_map_shape, cfg.velo_range,
                              cfg.anchor_sizes)
@@ -247,6 +271,7 @@ def train(cfg: Config,
         with cf.ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
             prepped = pool.map(prep, enumerate(frames))
             batch_buf: List[FrameArrays] = []
+            pending: List[dict] = []
             it = 0
             for fa_cls in prepped:
                 batch_buf.append(fa_cls)
@@ -265,18 +290,25 @@ def train(cfg: Config,
                 with timer.phase("device_step"):
                     state, metrics = step(state, pts, nps, imgs, gts,
                                           gms, gcs, sub)
-                    metrics = jax.device_get(metrics)
-                tracker.update(metrics)
+                    # metrics stay on-device; fetching scalars per step
+                    # costs one round trip per leaf on relayed backends
+                    pending.append(metrics)
                 it += 1
                 if it % log_every == 0:
+                    _flush_metrics(tracker, pending)
                     print(f"epoch {epoch + 1} it {it}: "
                           f"avg cls {tracker.average('cls_loss'):.6f} "
                           f"avg reg {tracker.average('reg_loss'):.6f} "
                           f"max cls {tracker.maximum('cls_loss'):.6f} "
                           f"max reg {tracker.maximum('reg_loss'):.6f}")
 
+        _flush_metrics(tracker, pending)
+
         with timer.phase("checkpoint"):
             ckpt.save_checkpoint(cfg.checkpoint_dir, epoch + 1, state)
+            if cfg.checkpoint_keep_last:
+                ckpt.prune_checkpoints(cfg.checkpoint_dir,
+                                       cfg.checkpoint_keep_last)
 
         # periodic validation (no reference counterpart — its eval was
         # never committed, SURVEY.md §6)
@@ -293,4 +325,9 @@ def train(cfg: Config,
                       f"AP={r['ap']:.4f} R={r['recall']:.4f} "
                       f"gt={r['num_gt']}")
         print(f"epoch {epoch + 1} done | {timer.report()}")
+        if time_budget_s is not None \
+                and _time.monotonic() - t_start > time_budget_s:
+            print(f"time budget ({time_budget_s:.0f}s) spent — stopping "
+                  f"after epoch {epoch + 1} (resume with -r {epoch + 1})")
+            break
     return state
