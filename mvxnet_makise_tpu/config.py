@@ -82,9 +82,12 @@ class Config:
     use_bf16: bool = False
     seed: int = 0
     checkpoint_dir: str = "./checkpoints"
-    # keep only the newest N per-epoch checkpoints (0 = keep all); a
-    # full fusion checkpoint is ~180 MB
-    checkpoint_keep_last: int = 10
+    # keep only the newest N per-epoch checkpoints (0 = keep all, the
+    # default — pruning deletes epochs from checkpoint_dir, including
+    # ones from earlier runs, so it must be opted into; each pruned dir
+    # is logged).  A full fusion checkpoint is ~180 MB, so long runs
+    # should set this (tools/train passes --keep-last).
+    checkpoint_keep_last: int = 0
 
     # ---- data ----
     data_root: str = "./data/kitti"

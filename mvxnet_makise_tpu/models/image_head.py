@@ -125,9 +125,11 @@ class PointImageHead(nn.Module):
     :class:`PointImageFusion`.  Parameter tree matches :class:`ImageHead`
     (extractor/fusion) so checkpoints interchange.
 
-    ``gather_backend="pallas"`` (the ``auto`` choice on TPU) replaces
-    the row-gather with ops/pallas_gather's banded selector-matmul
-    kernel: points are processed in image-row-sorted padded order, the
+    ``gather_backend="auto"`` resolves to ``"xla"`` (the banded Pallas
+    kernel measured slower in-model — see the backend note in
+    ``__call__``).  ``gather_backend="pallas"`` selects ops/pallas_gather's
+    banded selector-matmul kernel: points are processed in
+    image-row-sorted padded order, the
     fusion MLP runs directly on that order (pointwise math + masked
     statistics are order/padding-exact — padded rows carry mask False
     and weight zero), and only the final 16-channel output is

@@ -46,6 +46,8 @@ class Detector:
                  with_images: bool = True,
                  score_threshold: float = 0.3,
                  nms_iou_threshold: float = 0.1,
+                 pre_max_size: int = 256,
+                 post_max_size: int = 64,
                  mesh=None):
         """``mesh``: optional jax.sharding Mesh (parallel/mesh.make_mesh)
         for data-parallel inference — the batch axis shards over the
@@ -61,6 +63,11 @@ class Detector:
             cfg.feature_map_shape, cfg.velo_range, cfg.anchor_sizes))
         self.score_threshold = score_threshold
         self.nms_iou_threshold = nms_iou_threshold
+        # NMS candidate-pool bound: 256 (the speed default) truncates
+        # before NMS in scenes with >256 above-threshold candidates;
+        # dense-scene / low-threshold users can raise it (eval/decode.py)
+        self.pre_max_size = pre_max_size
+        self.post_max_size = post_max_size
         self.mesh = mesh
         if mesh is not None:
             from mvxnet_makise_tpu.parallel.mesh import shard_params
@@ -112,7 +119,9 @@ class Detector:
             return jax.vmap(lambda s, r: decode_predictions(
                 s.astype(jnp.float32), r.astype(jnp.float32),
                 self.anchors, score_threshold=self.score_threshold,
-                nms_iou_threshold=self.nms_iou_threshold))(score, reg)
+                nms_iou_threshold=self.nms_iou_threshold,
+                pre_max_size=self.pre_max_size,
+                post_max_size=self.post_max_size))(score, reg)
 
         if self.mesh is not None:
             from mvxnet_makise_tpu.parallel.mesh import (

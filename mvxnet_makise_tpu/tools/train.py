@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--image-weights", default=None,
                    help="torch state_dict file for the ResNet50-FPN "
                         "extractor (torchvision fasterrcnn_resnet50_fpn_v2)")
+    p.add_argument("--keep-last", type=int, default=None, metavar="N",
+                   help="prune all but the newest N epoch checkpoints "
+                        "after each save (default: keep all)")
     args = p.parse_args(argv)
 
     from mvxnet_makise_tpu.config import load_config
@@ -54,6 +57,8 @@ def main(argv=None):
         overrides["batch_size"] = args.batch_size
     if args.bf16:
         overrides["use_bf16"] = True
+    if args.keep_last is not None:
+        overrides["checkpoint_keep_last"] = args.keep_last
     cfg = load_config(args.config, **overrides)
 
     from mvxnet_makise_tpu.train.loop import train

@@ -84,11 +84,15 @@ def prune_checkpoints(checkpoint_dir: str, keep_last: int) -> None:
     epochs = []
     for name in os.listdir(checkpoint_dir):
         full = os.path.join(checkpoint_dir, name)
-        if name.endswith(".orbax-checkpoint-tmp"):
+        # orbax names temp dirs '<name>.orbax-checkpoint-tmp-<timestamp>'
+        # (suffix + timestamp), so match on containment, not endswith
+        if ".orbax-checkpoint-tmp" in name:
             shutil.rmtree(full, ignore_errors=True)
         elif name.startswith("epoch") and name[5:].isdigit():
             epochs.append(int(name[5:]))
     for e in sorted(epochs)[:-keep_last] if keep_last > 0 else []:
+        print(f"prune_checkpoints: deleting {checkpoint_dir}/epoch{e} "
+              f"(keep_last={keep_last})")
         shutil.rmtree(os.path.join(checkpoint_dir, f"epoch{e}"),
                       ignore_errors=True)
 

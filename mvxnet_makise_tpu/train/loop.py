@@ -287,7 +287,11 @@ def train(cfg: Config,
                     gcs = np.stack([c for _, c in batch_buf])
                 batch_buf = []
                 key, sub = jax.random.split(key)
-                with timer.phase("device_step"):
+                # NB: dispatch is async — this phase measures enqueue
+                # time only; actual device execution is absorbed by the
+                # epoch-end "device_wait" barrier below (or by whatever
+                # phase blocks first)
+                with timer.phase("device_dispatch"):
                     state, metrics = step(state, pts, nps, imgs, gts,
                                           gms, gcs, sub)
                     # metrics stay on-device; fetching scalars per step
@@ -303,6 +307,12 @@ def train(cfg: Config,
                           f"max reg {tracker.maximum('reg_loss'):.6f}")
 
         _flush_metrics(tracker, pending)
+
+        # drain the async dispatch queue inside a dedicated phase so
+        # device execution time lands in "device_wait", not in whatever
+        # phase happens to block next
+        with timer.phase("device_wait"):
+            jax.block_until_ready(state.step)
 
         with timer.phase("checkpoint"):
             ckpt.save_checkpoint(cfg.checkpoint_dir, epoch + 1, state)

@@ -28,7 +28,9 @@ def test_prune_checkpoints_keeps_newest(tmp_path):
     root = str(tmp_path / "ckpts")
     for e in [1, 2, 3, 7, 10]:
         os.makedirs(os.path.join(root, f"epoch{e}"))
-    os.makedirs(os.path.join(root, "epoch11.orbax-checkpoint-tmp"))
+    # real orbax temp naming: '<name>.orbax-checkpoint-tmp-<timestamp>'
+    os.makedirs(os.path.join(root,
+                             "epoch11.orbax-checkpoint-tmp-1723900000"))
 
     prune_checkpoints(root, keep_last=2)
     left = sorted(os.listdir(root))
