@@ -108,14 +108,26 @@ class Config:
     # resolves to xla — see models/voxelnet._scatter.
     scatter_backend: str = "auto"
 
-    # CML first-layer formulation: "dense3d" = scatter + strided 3D
-    # conv (the measured-fastest: conv1 is output-channel-bound at
-    # N=64, so reformulations cannot beat it); "banded" scatters voxels
-    # straight into conv1's depth-banded im2col layout and runs ONE 2D
-    # conv — identical math/params, measured slower in-model on v5e
-    # (137 vs 88 ms LiDAR branch: the 1.2x scatter table and 1.5x conv
-    # input reads outweigh any MXU gain).  Kept as a tested variant.
-    cml_mode: str = "dense3d"
+    # CML first-layer formulation:
+    #   "column"  — BEV-column-compacted sparse conv1 (the round-3
+    #               default): active columns packed dense, all 27 taps
+    #               as ONE MXU matmul, spatial merge via the Pallas
+    #               one-hot-matmul kernel (ops/pallas_column_merge.py).
+    #               Neither the 128-ch dense grid (1.44 GB/batch-8
+    #               bf16) nor its scatter exists.  Measured v5e
+    #               batch-8: isolated scatter+conv1 49.4 -> 25.9 ms,
+    #               but in-branch only 81.8 -> 78.7 (XLA already
+    #               overlaps the dense path's scatter; the merge
+    #               epilogue costs what the matmul saves).  Kept
+    #               default for the memory headroom and as the base
+    #               for the fused-epilogue merge kernel.
+    #   "dense3d" — scatter + strided 3D conv (the reference dataflow;
+    #               conv1 output-channel-bound at N=64).
+    #   "banded"  — scatter into conv1's depth-banded im2col layout +
+    #               one 2D conv; identical math/params, measured slower
+    #               in-model (137 vs 88 ms LiDAR branch).  Kept as a
+    #               tested variant.
+    cml_mode: str = "column"
 
     # FPN bilinear-gather backend for the image branch: "auto" | "xla"
     # (ops/gather.py patch-row gather) | "pallas" (ops/pallas_gather.py

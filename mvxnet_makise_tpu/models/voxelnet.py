@@ -329,6 +329,102 @@ class MiddleConvLayersBanded(nn.Module):
         return x
 
 
+class ColumnConv1ReluNorm(nn.Module):
+    """CML conv1 via BEV-column compaction (ops/column_conv.py): pack
+    the active columns dense, fold all 27 taps x 5 output depths into
+    ONE MXU matmul, then merge the 9 spatial taps into the dense output.
+    Neither the 128-channel dense grid (360 MB/frame bf16) nor its
+    scatter ever exists.  Parameter tree identical to
+    ConvReluNorm(name='conv1') — checkpoints interchange with the dense
+    path.
+
+    ``merge_backend``: "auto" resolves to the Pallas one-hot-matmul
+    merge kernel (ops/pallas_column_merge.py — XLA's scatter-add is
+    row-issue-bound at ~40-65 ns/row on TPU, slower than the dense conv
+    it replaces); "xla" keeps the scatter-add form (the oracle, and the
+    automatic choice under float64 test runs, which Mosaic does not
+    support)."""
+    features: int
+    in_features: int
+    grid_shape: Sequence[int] = (352, 400, 10)
+    eps: float = 1e-6
+    merge_backend: str = "auto"    # "auto" | "pallas" | "xla"
+
+    @nn.compact
+    def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
+                 vmask: jnp.ndarray) -> jnp.ndarray:
+        from mvxnet_makise_tpu.ops.column_conv import (
+            column_conv1_d2, column_taps_matmul, compact_columns)
+        from mvxnet_makise_tpu.ops.pallas_column_merge import (
+            column_bounds, merge_taps)
+
+        kernel, bias = _Conv3DParams(
+            self.features, self.in_features, name="conv")()
+        nx, ny, nz = self.grid_shape
+        d_out = (nz + 2 - 3) // 2 + 1
+
+        backend = self.merge_backend
+        if backend == "auto":
+            backend = "xla" if vfeat.dtype == jnp.float64 else "pallas"
+
+        # the voxelizer emits voxels ascending in the linear cell id
+        # with dead slots trailing (ops/voxelize.py), so the
+        # compaction's internal sort is skippable
+        if backend == "pallas":
+            def prep(f, c, m):
+                cols, col_xy, col_mask = compact_columns(
+                    f, c, m, self.grid_shape, assume_sorted=True)
+                y = column_taps_matmul(cols, kernel)   # (V, d, 9, Co)
+                return (jnp.transpose(y, (0, 2, 1, 3)),
+                        col_xy[:, 1], column_bounds(col_xy, col_mask, nx))
+
+            y, cy, bounds = jax.vmap(prep)(vfeat, coords, vmask)
+            B, V = y.shape[:2]
+            merged = merge_taps(
+                y.reshape(B, V, 9, d_out * self.features)
+                .astype(vfeat.dtype), cy, bounds, tuple(self.grid_shape))
+            x = jnp.transpose(
+                merged.reshape(B, nx, ny, d_out, self.features),
+                (0, 3, 1, 2, 4))
+        else:
+            def one(f, c, m):
+                cols, col_xy, col_mask = compact_columns(
+                    f, c, m, self.grid_shape, assume_sorted=True)
+                return column_conv1_d2(cols, col_xy, col_mask, kernel,
+                                       self.grid_shape)
+
+            x = jax.vmap(one)(vfeat, coords, vmask)    # (B,5,H,W,Co) f32
+        # bias lands on every cell (incl. inactive ones) and the epilogue
+        # reduces over the whole batch — dense ConvReluNorm semantics
+        x = nn.relu((x + bias).astype(vfeat.dtype))
+        return standardize(x, self.eps)
+
+
+class MiddleConvLayersColumn(nn.Module):
+    """CML with the column-compacted first layer
+    (:class:`ColumnConv1ReluNorm`); conv2/conv3 stay dense 3D (their
+    input is 4x smaller and BEV occupancy dilates past useful sparsity).
+    Same parameter tree as MiddleConvLayers — checkpoints interchange;
+    equivalence is tested in tests/test_column_cml.py.  Replaces the
+    reference's scatter+dense pipeline at VoxelNet.py:16-22 / Pipe.py:33."""
+    eps: float = 1e-6
+    grid_shape: Sequence[int] = (352, 400, 10)
+
+    @nn.compact
+    def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
+                 vmask: jnp.ndarray) -> jnp.ndarray:
+        x = ColumnConv1ReluNorm(
+            64, vfeat.shape[-1], tuple(self.grid_shape), self.eps,
+            name="conv1")(vfeat, coords, vmask)              # (B,5,H,W,64)
+        x = ConvReluNorm(64, (3, 3, 3), (1, 1, 1),
+                         ((0, 0), (1, 1), (1, 1)), self.eps,
+                         xavier=False, name="conv2")(x)      # D 5->3
+        x = ConvReluNorm(64, (3, 3, 3), (2, 1, 1),
+                         ((1, 1), (1, 1), (1, 1)), self.eps,
+                         xavier=False, name="conv3")(x)      # D 3->2
+        return x
+
+
 class MiddleConvLayersSparse(nn.Module):
     """CML with a sparse-input first layer: consumes (vfeat, coords,
     vmask) directly — the 128-channel dense grid (360 MB/frame bf16 at
@@ -410,7 +506,7 @@ class VoxelNetBranch(nn.Module):
     eps: float = 1e-6
     remat: bool = False
     scatter_backend: str = "auto"  # "auto" | "xla" | "pallas"
-    cml_mode: str = "dense3d"      # "dense3d" | "banded"
+    cml_mode: str = "dense3d"      # "dense3d" | "banded" | "column"
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -426,7 +522,12 @@ class VoxelNetBranch(nn.Module):
         x = jnp.max(x, axis=-2)                                 # (B, V, 128)
         x = jnp.where(mask[..., None], x, 0.0)
 
-        if self.cml_mode == "banded":
+        if self.cml_mode == "column":
+            cml_cls = nn.remat(MiddleConvLayersColumn) if self.remat \
+                else MiddleConvLayersColumn
+            x = cml_cls(self.eps, tuple(self.grid_shape),
+                        name="cml")(x, coords, mask)
+        elif self.cml_mode == "banded":
             cml_cls = nn.remat(MiddleConvLayersBanded) if self.remat \
                 else MiddleConvLayersBanded
             x = cml_cls(self.eps, tuple(self.grid_shape),

@@ -156,9 +156,14 @@ class VoxelNetBranchPM(nn.Module):
         vfeat = jnp.where(vmask[..., None] & (vfeat > _NEG / 2), vfeat, 0.0)
 
         from mvxnet_makise_tpu.models.voxelnet import (
-            MiddleConvLayersBanded, _scatter)
+            MiddleConvLayersBanded, MiddleConvLayersColumn, _scatter)
 
-        if self.cml_mode == "banded":
+        if self.cml_mode == "column":
+            cml_cls = nn.remat(MiddleConvLayersColumn) if self.remat \
+                else MiddleConvLayersColumn
+            y = cml_cls(self.eps, tuple(self.grid_shape),
+                        name="cml")(vfeat, coords, vmask)
+        elif self.cml_mode == "banded":
             cml_cls = nn.remat(MiddleConvLayersBanded) if self.remat \
                 else MiddleConvLayersBanded
             y = cml_cls(self.eps, tuple(self.grid_shape),

@@ -23,6 +23,10 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--fusion-mode", default="pm",
                    choices=["pm", "point"])
+    p.add_argument("--cml-mode", default=None,
+                   choices=["dense3d", "banded", "column"],
+                   help="override the CML first-layer formulation "
+                        "(default: config default)")
     args = p.parse_args(argv)
     B = args.batch
 
@@ -42,7 +46,11 @@ def main(argv=None):
                                               cast_batch_for_compute,
                                               frames_to_batch)
 
-    cfg = Config(use_bf16=True, batch_size=B, fusion_mode=args.fusion_mode)
+    ckw = {}
+    if args.cml_mode:
+        ckw["cml_mode"] = args.cml_mode
+    cfg = Config(use_bf16=True, batch_size=B, fusion_mode=args.fusion_mode,
+                 **ckw)
     rng = np.random.default_rng(0)
     frames = [preprocess_frame(*synthetic_frame(rng, cfg), cfg)
               for _ in range(B)]
@@ -116,7 +124,8 @@ def main(argv=None):
              jnp.zeros((*pf7.shape[:2], 16), jnp.bfloat16)], -1)
         z0 = jnp.zeros((B, cfg.max_voxels, 23), jnp.bfloat16)
         vb = VoxelNetBranchPM(grid_shape=cfg.voxel_shape,
-                              samples_per_voxel=cfg.samples_per_voxel)
+                              samples_per_voxel=cfg.samples_per_voxel,
+                              cml_mode=cfg.cml_mode)
         vbp = cast_for_compute(
             {"params": params["params"]["backbone"]}, True)
         bench("voxelnet_branch", jax.jit(
