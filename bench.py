@@ -171,15 +171,20 @@ def main():
         }))
         return
 
-    # ---- headline: full detection path — host feed (fused C++ crop +
-    # project + pad), compiled voxelize -> fuse -> decode -> NMS, final
-    # detections pulled back to host.  Host assemble and the device
-    # program are timed separately and summed (a pipelined server
-    # overlaps them; summing is the conservative choice).  Raw-array
-    # upload is excluded: on this relayed test rig the tunnel moves
-    # ~36 MB/s, which benchmarks the relay, not the chip.
+    # ---- headline: full detection path through the PACKAGED serving
+    # loop (serve.Detector.stream_batches, the double-buffered core of
+    # detect_stream): host feed (fused C++ crop+project+pad), compiled
+    # voxelize -> fuse -> decode -> NMS, detections pulled back to host.
+    # The host assemble runs inside the timed loop and overlaps device
+    # execution (dispatch is async), so the measurement is the true
+    # overlapped steady state, not host+device summed.  One caveat
+    # stands: the batch arrays fed to the device are pre-uploaded and
+    # reused, because on this relayed test rig the tunnel moves
+    # ~36 MB/s — including the upload would benchmark the relay, not
+    # the chip.  On local hardware the ~50 MB/batch upload rides PCIe/
+    # HBM at sub-ms cost and SHOULD be included (upload_excluded flags
+    # this in the JSON).
     from mvxnet_makise_tpu.data import native
-    from mvxnet_makise_tpu.data.synthetic import toy_calib
     from mvxnet_makise_tpu.serve import Detector
 
     det = Detector(cfg, model, init_params, with_images=with_images)
@@ -189,39 +194,41 @@ def main():
         fpts, fcalib, fimage, _ = synthetic_frame(rng2, cfg)
         raw_frames.append((fpts, fcalib, fimage))
 
-    # host-feed cost (per batch) — warm up first so the lazy ctypes
-    # extension build (g++, ~seconds) happens outside the timed region
+    # host-feed cost (per batch), reported for the breakdown — warm up
+    # first so the lazy ctypes extension build (g++, ~seconds) happens
+    # outside any timed region
     native.assemble_frame(raw_frames[0][0], raw_frames[0][1],
                           cfg.velo_range, cfg.image_size, cfg.max_points,
                           seed=0)
     t0 = time.perf_counter()
     host_reps = max(args.iters // 4, 1)
     for _ in range(host_reps):
-        for fpts, fcalib, _ in raw_frames:
-            native.assemble_frame(fpts, fcalib, cfg.velo_range,
-                                  cfg.image_size, cfg.max_points, seed=0)
+        det._assemble(raw_frames, args.batch)
     host_dt = (time.perf_counter() - t0) / host_reps
 
-    run = det._pipeline(args.batch)
-    out = run(det.params, points, num_points, images)
-    jax.device_get(out)
-    # steady-state serving loop: dispatch batch i+1 before pulling batch
-    # i's detections, so the (relay-expensive) host readback overlaps the
-    # next batch's device execution — jax dispatch is async
+    def batches(n):
+        # real per-batch host assemble inside the loop (its cost must
+        # overlap device execution, as in production), device arrays
+        # pre-uploaded (see upload_excluded note above)
+        for _ in range(n):
+            det._assemble(raw_frames, args.batch)
+            yield points, num_points, images, args.batch
+
+    # warm: compile the serve pipeline + first readback
+    for _ in det.stream_batches(batches(2), args.batch):
+        pass
+
     t0 = time.perf_counter()
-    prev = run(det.params, points, num_points, images)
-    for _ in range(args.iters - 1):
-        nxt = run(det.params, points, num_points, images)
-        dets = jax.device_get(prev)
-        prev = nxt
-    dets = jax.device_get(prev)
-    dev_dt = (time.perf_counter() - t0) / args.iters
+    last = None
+    for d in det.stream_batches(batches(args.iters), args.batch):
+        last = d
+    dt = time.perf_counter() - t0
     # scores are sigmoid-bounded; boxes may overflow under random
     # init-weight deltas (exp of an untrained reg head) — not a timing
     # concern
-    assert np.isfinite(dets.scores).all()
+    assert np.isfinite(last.scores).all()
 
-    fps = args.batch / (dev_dt + host_dt)
+    fps = args.batch * args.iters / dt
     print(json.dumps({
         "metric": "kitti_frames_per_sec_per_chip_e2e_detection"
                   + ("_lidar_only" if args.lidar_only else ""),
@@ -230,7 +237,9 @@ def main():
         "vs_baseline": round(fps / 500.0, 4),
         "raw_forward_fps": round(raw_fps, 2),
         "host_feed_ms_per_batch": round(host_dt * 1e3, 2),
-        "device_ms_per_batch": round(dev_dt * 1e3, 2),
+        "serve_loop_ms_per_batch": round(dt / args.iters * 1e3, 2),
+        "pipelined_serve_loop": True,
+        "upload_excluded": True,
     }))
 
 

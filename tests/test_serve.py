@@ -75,3 +75,33 @@ def test_detector_data_parallel_matches_single_device(rng):
         assert len(a.boxes) == len(b.boxes)
         np.testing.assert_allclose(a.scores, b.scores, atol=0.05)
         assert float(np.mean(np.abs(a.scores - b.scores))) < 0.02
+
+
+@pytest.mark.slow
+def test_detect_stream_matches_serial(rng):
+    """The pipelined (double-buffered, dispatch-ahead) serving loop
+    yields exactly the serial path's detections, in input order —
+    including a final partial batch."""
+    model, state = build_model_and_state(CFG, with_images=False)
+    det = Detector(CFG, model, state.params, with_images=False,
+                   score_threshold=0.0)
+
+    frames = []
+    for _ in range(5):                       # 2 full batches of 2 + 1
+        pts, calib, image, _ = synthetic_frame(rng, CFG, num_cars=2,
+                                               num_points=1200)
+        frames.append((pts, calib, None))
+
+    streamed = list(det.detect_stream(iter(frames), batch_size=2))
+    assert len(streamed) == len(frames)
+
+    serial = []
+    for i in range(0, len(frames), 2):
+        serial.extend(det.detect_frames(frames[i:i + 2]))
+
+    for s, r in zip(streamed, serial):
+        np.testing.assert_allclose(s.scores, r.scores, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(s.boxes, r.boxes, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(s.classes, r.classes)
