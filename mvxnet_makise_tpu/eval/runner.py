@@ -10,8 +10,14 @@ import numpy as np
 
 
 def run_eval(cfg, frames, state_params, model, with_images: bool,
-             score_threshold: float = 0.3,
+             score_threshold: float = 0.05,
              batch_size: int = 4):
+    """score_threshold default is LOW on purpose: AP integrates the
+    precision/recall curve over the full score ranking, so evaluating at
+    a serving threshold (0.3) silently truncates the curve and reports
+    AP=0 for any model whose calibrated scores sit below it — which is
+    every early/mid-training checkpoint.  Serving keeps its own
+    threshold (serve.Detector)."""
     import jax
     import jax.numpy as jnp
 

@@ -25,7 +25,9 @@ def main(argv=None):
     p.add_argument("--lidar-only", action="store_true")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
-    p.add_argument("--score-threshold", type=float, default=0.3)
+    p.add_argument("--score-threshold", type=float, default=0.05,
+                   help="decode threshold for AP (low: AP needs the "
+                        "full score ranking; 0.3 is a SERVING choice)")
     args = p.parse_args(argv)
 
     from mvxnet_makise_tpu.config import load_config
