@@ -70,6 +70,13 @@ class Config:
     # each GT centre — replaces the reference's CPU spiral-with-early-exit
     # (cpp/voxelutil.cpp:138-316) with a jit-able masked dense pass.
     assign_window: int = 12
+    # framework extension (default off = exact reference semantics):
+    # SECOND-style best-anchor fallback — every GT's highest-IoU anchor
+    # becomes positive even below pos_iou_threshold.  Without it, GTs
+    # whose yaw sits ~25-65 deg off the axis-aligned anchor yaws get
+    # ZERO positive anchors (the reference spiral has the same gap,
+    # cpp/voxelutil.cpp:165-167) and are unlearnable.
+    assign_best_anchor_fallback: bool = False
 
     # ---- training ----
     batch_size: int = 1

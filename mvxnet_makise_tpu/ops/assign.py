@@ -156,6 +156,7 @@ def assign_anchor_targets(gt_boxes: jnp.ndarray,
                           anchor_z: float = -1.0,
                           yaws: Sequence[float] = (0.0, np.pi / 2),
                           gt_classes: jnp.ndarray = None,
+                          best_anchor_fallback: bool = False,
                           ) -> AnchorTargets:
     """Dense windowed anchor<->GT assignment, fully jit-able.
 
@@ -188,7 +189,8 @@ def assign_anchor_targets(gt_boxes: jnp.ndarray,
                 gt_boxes, cmask, grid_hw=grid_hw, velo_range=velo_range,
                 box_size=tuple(sizes[c]), neg_threshold=float(negs[c]),
                 pos_threshold=float(poss[c]), window=window,
-                anchor_z=anchor_z, yaws=yaws))
+                anchor_z=anchor_z, yaws=yaws,
+                best_anchor_fallback=best_anchor_fallback))
         return AnchorTargets(
             pos=jnp.concatenate([p.pos for p in parts], axis=-1),
             ignore=jnp.concatenate([p.ignore for p in parts], axis=-1),
@@ -197,7 +199,7 @@ def assign_anchor_targets(gt_boxes: jnp.ndarray,
         gt_boxes, gt_mask, grid_hw=grid_hw, velo_range=velo_range,
         box_size=box_size, neg_threshold=neg_threshold,
         pos_threshold=pos_threshold, window=window, anchor_z=anchor_z,
-        yaws=yaws)
+        yaws=yaws, best_anchor_fallback=best_anchor_fallback)
 
 
 def _assign_one_class(gt_boxes: jnp.ndarray,
@@ -211,6 +213,7 @@ def _assign_one_class(gt_boxes: jnp.ndarray,
                       window: int,
                       anchor_z: float,
                       yaws: Sequence[float],
+                      best_anchor_fallback: bool = False,
                       ) -> AnchorTargets:
     """Windowed IoU pass for one anchor footprint (see caller)."""
     required = min_assign_window(grid_hw, velo_range, box_size,
@@ -287,4 +290,28 @@ def _assign_one_class(gt_boxes: jnp.ndarray,
     gids = jnp.where(
         q_pos, jnp.arange(G, dtype=jnp.int32)[:, None, None, None], -1)
     gt_index = scatter_max(gids, -1)
+
+    if best_anchor_fallback:
+        # Framework extension (NOT reference behaviour — the reference
+        # spiral, cpp/voxelutil.cpp:138-316, leaves a GT with zero
+        # positives when no anchor reaches pos_threshold, which is every
+        # GT whose yaw sits ~25-65 deg off the two axis-aligned anchor
+        # yaws; such GTs are then unlearnable).  SECOND-style fallback:
+        # each valid GT's highest-IoU anchor becomes positive (and
+        # leaves the negative pool) regardless of threshold.
+        iou_flat = jnp.where(valid, iou, -1.0).reshape(G, -1)
+        best = jnp.argmax(iou_flat, axis=1)                       # (G,)
+        best_iou = jnp.take_along_axis(iou_flat, best[:, None], 1)[:, 0]
+        ok = gt_mask & (best_iou > 0.0)
+        bidx = jnp.take_along_axis(
+            safe_idx.reshape(G, -1), best[:, None], 1)[:, 0]
+        bsafe = jnp.where(ok, bidx, dump)
+        fb = jnp.zeros((H * W * A + 1,), jnp.int32).at[bsafe].max(
+            1, mode="drop")[:-1].reshape(H, W, A) > 0
+        fb_gid = jnp.full((H * W * A + 1,), -1, jnp.int32).at[bsafe].max(
+            jnp.where(ok, jnp.arange(G, dtype=jnp.int32), -1),
+            mode="drop")[:-1].reshape(H, W, A)
+        pos = pos | fb
+        ignore = ignore | fb
+        gt_index = jnp.maximum(gt_index, fb_gid)
     return AnchorTargets(pos=pos, ignore=ignore, gt_index=gt_index)

@@ -108,6 +108,7 @@ def _assign_batch(batch: Batch, cfg: Config):
         neg_threshold=cfg.class_neg_thresholds,
         pos_threshold=cfg.class_pos_thresholds,
         window=cfg.assign_window, gt_classes=c,
+        best_anchor_fallback=cfg.assign_best_anchor_fallback,
     ))(batch.gt_boxes, batch.gt_mask, classes)
 
 

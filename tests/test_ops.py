@@ -214,3 +214,57 @@ def test_nms_score_threshold():
         jnp.asarray(boxes), jnp.asarray(scores), score_threshold=0.1,
         post_max_size=3))
     assert set(idx[valid].tolist()) == {0, 2}
+
+
+# ---------------------------------------------------------------------------
+# best-anchor fallback (framework extension, default OFF)
+# ---------------------------------------------------------------------------
+
+def test_best_anchor_fallback_rescues_diagonal_gt():
+    """A GT at yaw pi/4 reaches no axis-aligned anchor at IoU 0.6 (the
+    reference leaves it with zero positives); with the fallback its
+    highest-IoU anchor becomes positive and leaves the negative pool."""
+    gt = np.zeros((1, 7), np.float32)
+    gt[0] = [35.0, 0.0, -1.0, *CFG.car_size, np.pi / 4]
+    mask = np.ones(1, bool)
+
+    base = _assign(gt, mask)
+    assert int(base.pos.sum()) == 0  # the gap the fallback closes
+
+    fb = assign_anchor_targets(
+        jnp.asarray(gt), jnp.asarray(mask),
+        grid_hw=CFG.feature_map_shape, velo_range=CFG.velo_range,
+        box_size=CFG.car_size, neg_threshold=CFG.neg_iou_threshold,
+        pos_threshold=CFG.pos_iou_threshold, window=CFG.assign_window,
+        best_anchor_fallback=True)
+    assert int(fb.pos.sum()) == 1
+    # the fallback anchor is the global best: at the GT centre cell
+    ij = np.argwhere(np.asarray(fb.pos))[0]
+    anchors = create_anchors(CFG.feature_map_shape, CFG.velo_range,
+                             CFG.car_size)
+    np.testing.assert_allclose(anchors[ij[0], ij[1], ij[2], :2],
+                               gt[0, :2], atol=0.3)
+    # positive implies non-negative, and it carries the GT index
+    assert bool(fb.ignore[ij[0], ij[1], ij[2]])
+    assert int(fb.gt_index[ij[0], ij[1], ij[2]]) == 0
+
+
+def test_best_anchor_fallback_noop_when_thresholds_met():
+    """An axis-aligned GT already has threshold positives; the fallback
+    must not change the assignment."""
+    gt = np.zeros((1, 7), np.float32)
+    gt[0] = [35.0, 0.0, -1.0, *CFG.car_size, 0.0]
+    mask = np.ones(1, bool)
+    base = _assign(gt, mask)
+    fb = assign_anchor_targets(
+        jnp.asarray(gt), jnp.asarray(mask),
+        grid_hw=CFG.feature_map_shape, velo_range=CFG.velo_range,
+        box_size=CFG.car_size, neg_threshold=CFG.neg_iou_threshold,
+        pos_threshold=CFG.pos_iou_threshold, window=CFG.assign_window,
+        best_anchor_fallback=True)
+    assert int(base.pos.sum()) >= 1
+    np.testing.assert_array_equal(np.asarray(base.pos), np.asarray(fb.pos))
+    np.testing.assert_array_equal(np.asarray(base.ignore),
+                                  np.asarray(fb.ignore))
+    np.testing.assert_array_equal(np.asarray(base.gt_index),
+                                  np.asarray(fb.gt_index))
