@@ -11,7 +11,8 @@ import numpy as np
 
 def run_eval(cfg, frames, state_params, model, with_images: bool,
              score_threshold: float = 0.05,
-             batch_size: int = 4):
+             batch_size: int = 4,
+             iou_threshold=None):
     """score_threshold default is LOW on purpose: AP integrates the
     precision/recall curve over the full score ranking, so evaluating at
     a serving threshold (0.3) silently truncates the curve and reports
@@ -88,7 +89,8 @@ def run_eval(cfg, frames, state_params, model, with_images: bool,
     results = {}
     buckets = {"easy": 0, "moderate": 1, "hard": 2}
     for ci, cname in enumerate(cfg.target_classes):
-        thr = 0.7 if cname == "Car" else 0.5
+        thr = iou_threshold if iou_threshold is not None \
+            else (0.7 if cname == "Car" else 0.5)
         out = {"all": average_precision_3d(dets[ci], gts[ci],
                                            iou_threshold=thr)}
         for bname, dmax in buckets.items():

@@ -356,7 +356,7 @@ class ColumnConv1ReluNorm(nn.Module):
         from mvxnet_makise_tpu.ops.column_conv import (
             column_conv1_d2, column_taps_matmul, compact_columns)
         from mvxnet_makise_tpu.ops.pallas_column_merge import (
-            column_bounds, merge_taps)
+            column_bounds, merge_taps_fused)
 
         kernel, bias = _Conv3DParams(
             self.features, self.in_features, name="conv")()
@@ -367,33 +367,50 @@ class ColumnConv1ReluNorm(nn.Module):
         if backend == "auto":
             backend = "xla" if vfeat.dtype == jnp.float64 else "pallas"
 
-        # the voxelizer emits voxels ascending in the linear cell id
-        # with dead slots trailing (ops/voxelize.py), so the
-        # compaction's internal sort is skippable
-        if backend == "pallas":
+        if backend in ("pallas", "xla"):
+            # the voxelizer emits voxels ascending in the linear cell id
+            # with dead slots trailing (ops/voxelize.py), so the
+            # compaction's internal sort is skippable
             def prep(f, c, m):
                 cols, col_xy, col_mask = compact_columns(
                     f, c, m, self.grid_shape, assume_sorted=True)
                 y = column_taps_matmul(cols, kernel)   # (V, d, 9, Co)
-                return (jnp.transpose(y, (0, 2, 1, 3)),
+                # drop to the compute dtype BEFORE the (d, 9) transpose:
+                # halves the relayout traffic of the biggest interm.
+                return (jnp.transpose(y.astype(f.dtype), (0, 2, 1, 3)),
                         col_xy[:, 1], column_bounds(col_xy, col_mask, nx))
 
             y, cy, bounds = jax.vmap(prep)(vfeat, coords, vmask)
             B, V = y.shape[:2]
-            merged = merge_taps(
+            # bias lands on every cell (incl. inactive ones), tiled to
+            # the packed d-major lane layout; the kernel also emits
+            # per-row [sum, sum_sq] so the standardize statistics never
+            # re-read the (B, nx, ny, d*C) tensor (dense ConvReluNorm
+            # epilogue semantics, one pass)
+            bias_packed = jnp.tile(bias, d_out)
+            out, stats = merge_taps_fused(
                 y.reshape(B, V, 9, d_out * self.features)
-                .astype(vfeat.dtype), cy, bounds, tuple(self.grid_shape))
+                .astype(vfeat.dtype), cy, bounds, bias_packed,
+                tuple(self.grid_shape), backend)
+            s = jnp.sum(stats, axis=(0, 1))                    # (2, R)
+            s = s.reshape(2, d_out, self.features).sum(axis=1)  # (2, C)
+            n = B * nx * ny * d_out
+            mean = s[0] / n
+            var = s[1] / n - mean * mean
             x = jnp.transpose(
-                merged.reshape(B, nx, ny, d_out, self.features),
+                out.reshape(B, nx, ny, d_out, self.features),
                 (0, 3, 1, 2, 4))
-        else:
-            def one(f, c, m):
-                cols, col_xy, col_mask = compact_columns(
-                    f, c, m, self.grid_shape, assume_sorted=True)
-                return column_conv1_d2(cols, col_xy, col_mask, kernel,
-                                       self.grid_shape)
+            inv = jax.lax.rsqrt(var + self.eps)
+            return ((x.astype(mean.dtype) - mean) * inv).astype(x.dtype)
 
-            x = jax.vmap(one)(vfeat, coords, vmask)    # (B,5,H,W,Co) f32
+        # per-frame XLA oracle path (column_conv1_d2)
+        def one(f, c, m):
+            cols, col_xy, col_mask = compact_columns(
+                f, c, m, self.grid_shape, assume_sorted=True)
+            return column_conv1_d2(cols, col_xy, col_mask, kernel,
+                                   self.grid_shape)
+
+        x = jax.vmap(one)(vfeat, coords, vmask)    # (B,5,H,W,Co) f32
         # bias lands on every cell (incl. inactive ones) and the epilogue
         # reduces over the whole batch — dense ConvReluNorm semantics
         x = nn.relu((x + bias).astype(vfeat.dtype))

@@ -139,7 +139,8 @@ def merge_taps_reference(y: jnp.ndarray, col_cy: jnp.ndarray,
     cx = jnp.searchsorted(bounds, col_ids, side="right") - 1
     n_cols = bounds[-1]
     cm = col_ids < n_cols
-    out = jnp.zeros((nx, ny, r), jnp.float32)
+    acc = jnp.promote_types(y.dtype, jnp.float32)
+    out = jnp.zeros((nx, ny, r), acc)
     cxs = jnp.where(cm, cx, nx + 8)
     for kh in range(3):
         ox = cxs + 1 - kh
@@ -153,7 +154,7 @@ def merge_taps_reference(y: jnp.ndarray, col_cy: jnp.ndarray,
             oxs = jnp.where(ok, ox, nx)
             oys = jnp.where(ok, oy, ny)
             out = out.at[oxs, oys].add(
-                y[:, kh * 3 + kw, :].astype(jnp.float32), mode="drop")
+                y[:, kh * 3 + kw, :].astype(acc), mode="drop")
     return out
 
 
@@ -254,6 +255,250 @@ def _merge_taps_bwd(grid_shape, backend, res, g):
 
 
 merge_taps.defvjp(_merge_taps_fwd, _merge_taps_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused variant: merge + bias + relu + per-row statistics in one kernel
+# ---------------------------------------------------------------------------
+
+# chunk size for the fused kernel: 128 keeps the cy side-table in a
+# proper (rows, 128-lane) int32 layout (one row per chunk, no padding
+# blow-up) and chunk starts 128-aligned for the DMA
+FCHUNK = 128
+# output rows per program: adjacent output rows share 2 of their 3
+# contributing cx rows, so grouping amortises the slab DMA (~4x fewer
+# HBM bytes) and the per-program fixed costs
+OXG = 4
+
+
+def _merge_fused_kernel(bounds_ref,    # SMEM (B, nx+1) int32 prefetch
+                        cy_ref,        # VMEM (1, V_pad//128, 128) int32
+                        y_ref,         # ANY  (B, V_pad, 9*Rp)
+                        bias_ref,      # VMEM (1, Rp) f32 (packed, pad 0)
+                        out_ref,       # VMEM (1, OXG, ny, Rp)
+                        stat_ref,      # VMEM (1, OXG, 2, Rp) f32
+                        acc_ref,       # VMEM (OXG, ny, Rp) f32 scratch
+                        slab0_ref,     # VMEM (FCHUNK, 9*Rp) scratch
+                        slab1_ref,     # VMEM (FCHUNK, 9*Rp) scratch
+                        sem0, sem1,    # DMA semaphores
+                        *, nx: int, ny: int, rp: int):
+    """Per-(b, ox-group) program: accumulate the 3x3 tap contributions
+    for OXG consecutive output rows from their union column range
+    (double-buffered chunk DMA), then emit relu(acc + bias) and its
+    per-lane [sum, sum-of-squares] — the dense-conv epilogue (bias,
+    relu, and the standardize statistics pass) fused into the merge so
+    the (B, nx, ny, Rp) tensor is written once and never re-read.
+
+    Masking split: per-column validity and kh-classification derive
+    from the column index j (sublane-major, masks the sel rows); the
+    positioning matrix S[row, j] = (row == cy_j + 1 - kw) needs NO
+    masking — dead columns have zero sel rows, and out-of-grid oy
+    simply matches no row of the iota."""
+    b = pl.program_id(0)
+    ox0 = pl.program_id(1) * OXG
+
+    # bounds[ox0-1 .. ox0+OXG+1] (clamped): per-row ranges + kh splits
+    bnd = [bounds_ref[b, jnp.clip(ox0 - 1 + i, 0, nx)]
+           for i in range(OXG + 3)]
+    s, e = bnd[0], bnd[OXG + 2]
+    count = e - s
+
+    acc_ref[:] = jnp.zeros((OXG, ny, rp), jnp.float32)
+
+    c0 = s // FCHUNK
+    n_chunks = jnp.where(count > 0, (e - 1) // FCHUNK - c0 + 1, 0)
+    compute_dtype = slab0_ref.dtype
+
+    slabs = (slab0_ref, slab1_ref)
+    sems = (sem0, sem1)
+
+    def start_dma(c, buf):
+        # c is dynamic: guard against launching past the range
+        @pl.when(c < n_chunks)
+        def _():
+            start = pl.multiple_of((c0 + c) * FCHUNK, FCHUNK)
+            pltpu.make_async_copy(
+                y_ref.at[b, pl.ds(start, FCHUNK), :], slabs[buf],
+                sems[buf]).start()
+
+    def compute(c, buf):
+        """Wait buf's DMA for chunk c and accumulate its taps."""
+        start = pl.multiple_of((c0 + c) * FCHUNK, FCHUNK)
+        pltpu.make_async_copy(
+            y_ref.at[b, pl.ds(start, FCHUNK), :], slabs[buf],
+            sems[buf]).wait()
+        slab = slabs[buf][:]
+
+        # column indices along sublanes (mask side) ...
+        j = start + jax.lax.broadcasted_iota(jnp.int32, (FCHUNK, 1), 0)
+        # ... and cy along lanes (positioning side): chunk c is exactly
+        # row (c0 + c) of the (V_pad//128, 128) side-table
+        cy = cy_ref[0, (c0 + c), :].reshape(1, FCHUNK)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (ny, FCHUNK), 0)
+
+        for kw in range(3):
+            # S needs no masking (see docstring), and it is SHARED by
+            # all OXG group rows — so the OXG sel blocks concatenate
+            # into one wide rhs and the positioning runs as ONE matmul
+            # per kw (the kernel is matmul-issue-bound, not FLOP-bound)
+            s_mat = (rows == cy + 1 - kw).astype(compute_dtype)
+            sels = []
+            for i in range(OXG):        # static unroll over group rows
+                # column j contributes to row ox0+i with kh = cx-ox+1;
+                # kh == khv exactly on the interval
+                # [bnd[i+khv], bnd[i+khv+1]) of the sorted column list
+                sel = jnp.zeros((FCHUNK, rp), compute_dtype)
+                for khv in range(3):
+                    t = khv * 3 + kw
+                    m = (j >= bnd[i + khv]) & (j < bnd[i + khv + 1])
+                    sel = sel + jnp.where(
+                        m, slab[:, t * rp:(t + 1) * rp],
+                        jnp.zeros((), compute_dtype))
+                sels.append(sel)
+            wide = jax.lax.dot_general(
+                s_mat, jnp.concatenate(sels, axis=1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (ny, OXG*rp)
+            for i in range(OXG):
+                acc_ref[i] = acc_ref[i] + wide[:, i * rp:(i + 1) * rp]
+
+    # software-pipelined double buffering, statically two chunks per
+    # iteration so each buffer's start/wait pair stays structurally
+    # matched (no cond over refs)
+    start_dma(0, 0)
+    start_dma(1, 1)
+
+    def pair_body(p, _):
+        c = 2 * p
+
+        @pl.when(c < n_chunks)
+        def _():
+            compute(c, 0)
+        start_dma(c + 2, 0)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            compute(c + 1, 1)
+        start_dma(c + 3, 1)
+        return 0
+
+    jax.lax.fori_loop(0, (n_chunks + 1) // 2, pair_body, 0)
+
+    for i in range(OXG):
+        emitted = jnp.maximum(acc_ref[i] + bias_ref[0, :], 0.0)
+        out_ref[0, i] = emitted.astype(out_ref.dtype)
+        stat_ref[0, i, 0] = jnp.sum(emitted, axis=0)
+        stat_ref[0, i, 1] = jnp.sum(emitted * emitted, axis=0)
+
+
+def _merge_fused_fwd_pallas(y, col_cy, bounds, bias_packed, grid_shape):
+    nx, ny, _ = grid_shape
+    B, V, _, r = y.shape
+    rp = -(-r // 128) * 128
+    v_pad = -(-(V + FCHUNK) // FCHUNK) * FCHUNK
+    nxp = -(-nx // OXG) * OXG     # pad the row axis to whole groups
+
+    y_flat = jnp.zeros((B, v_pad, 9, rp), y.dtype).at[
+        :, :V, :, :r].set(y).reshape(B, v_pad, 9 * rp)
+    # cy side-table in (rows, 128) lanes: row k holds cy of columns
+    # [128k, 128k+128); dead slots hold 0 (their sel rows are zero)
+    cy_pad = jnp.zeros((B, v_pad), jnp.int32).at[:, :V].set(
+        col_cy.astype(jnp.int32)).reshape(B, v_pad // FCHUNK, FCHUNK)
+    bias_pad = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(
+        bias_packed.astype(jnp.float32))
+
+    kernel = functools.partial(_merge_fused_kernel, nx=nx, ny=ny, rp=rp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nxp // OXG),
+        in_specs=[
+            pl.BlockSpec((1, v_pad // FCHUNK, FCHUNK),
+                         lambda b, g, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, rp), lambda b, g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, OXG, ny, rp), lambda b, g, *_: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OXG, 2, rp), lambda b, g, *_: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((OXG, ny, rp), jnp.float32),
+            pltpu.VMEM((FCHUNK, 9 * rp), y.dtype),
+            pltpu.VMEM((FCHUNK, 9 * rp), y.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, nxp, ny, rp), y.dtype),
+                   jax.ShapeDtypeStruct((B, nxp, 2, rp), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(bounds.astype(jnp.int32), cy_pad, y_flat, bias_pad)
+    return out[:, :nx, :, :r], stats[:, :nx, :, :r]
+
+
+def _merge_fused_reference(y, col_cy, bounds, bias_packed, grid_shape):
+    """XLA composition with identical outputs (oracle + non-TPU path)."""
+    acc = jnp.promote_types(y.dtype, jnp.float32)
+    merged = merge_taps(y, col_cy, bounds, grid_shape, "xla")
+    emitted = jnp.maximum(
+        merged.astype(acc) + bias_packed.astype(acc), 0.0)
+    stats = jnp.stack([jnp.sum(emitted, axis=2),
+                       jnp.sum(emitted * emitted, axis=2)], axis=2)
+    return emitted.astype(y.dtype), stats  # stats stay in acc dtype
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def merge_taps_fused(y, col_cy, bounds, bias_packed, grid_shape,
+                     backend="pallas"):
+    """Tap merge with the dense-conv epilogue fused in.
+
+    Args are as :func:`merge_taps` plus ``bias_packed`` (R,) f32 — the
+    conv bias already tiled to the packed d-major layout (pad lanes 0).
+
+    Returns:
+      out:   (B, nx, ny, R) = relu(merge(y) + bias), y.dtype.
+      stats: (B, nx, 2, R) f32 — per output row [sum, sum_sq] of out
+        over ny, for a one-pass batch standardize downstream.
+    """
+    if backend == "xla":
+        return _merge_fused_reference(y, col_cy, bounds, bias_packed,
+                                      tuple(grid_shape))
+    return _merge_fused_fwd_pallas(y, col_cy, bounds, bias_packed,
+                                   tuple(grid_shape))
+
+
+def _merge_fused_fwd(y, col_cy, bounds, bias_packed, grid_shape, backend):
+    out, stats = merge_taps_fused(y, col_cy, bounds, bias_packed,
+                                  grid_shape, backend)
+    return (out, stats), (out, col_cy, bounds)
+
+
+def _merge_fused_bwd(grid_shape, backend, res, cots):
+    """relu+bias are elementwise over the merged tensor; the stats
+    outputs contribute broadcast terms.  d(merge)/dy is the tap-shifted
+    gather (same transpose as merge_taps)."""
+    out, col_cy, bounds = res
+    g_out, g_stats = cots
+    live = (out > 0).astype(g_out.dtype)
+    h = (g_out
+         + g_stats[:, :, 0][:, :, None, :].astype(g_out.dtype)
+         + 2.0 * out * g_stats[:, :, 1][:, :, None, :].astype(g_out.dtype))
+    pre = h * live                                    # (B, nx, ny, R)
+    dbias = jnp.sum(
+        pre.astype(jnp.promote_types(pre.dtype, jnp.float32)),
+        axis=(0, 1, 2))
+    dy = _merge_taps_bwd(grid_shape, backend, (col_cy, bounds), pre)[0]
+    return dy, None, None, dbias
+
+
+merge_taps_fused.defvjp(_merge_fused_fwd, _merge_fused_bwd)
 
 
 def column_bounds(col_xy: jnp.ndarray, col_mask: jnp.ndarray,

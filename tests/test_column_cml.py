@@ -120,8 +120,13 @@ def test_column_cml_matches_dense3d():
 
     col_mod = MiddleConvLayersColumn(grid_shape=GRID)
     got = col_mod.apply(params, feats, coords, mask)
+    # f32 tolerance: the fused merge computes the standardize variance
+    # one-pass (E[x^2] - mean^2 from kernel-emitted sums) vs the dense
+    # path's two-pass form — ~1e-4 divergence on normalized outputs in
+    # f32; exact agreement is checked at 1e-9 under x64 in
+    # test_branch_column_matches_dense3d_forward_and_grad
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=5e-4, atol=5e-4)
 
 
 def test_branch_column_matches_dense3d_forward_and_grad():

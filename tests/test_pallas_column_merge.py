@@ -132,3 +132,74 @@ def test_merge_against_compact_columns_pipeline():
     out = merge_taps(y, col_xy[None, :, 1], b[None], GRID, "pallas")
     assert out.shape == (1, nx, ny, R)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# fused merge (bias + relu + stats in-kernel)
+# ---------------------------------------------------------------------------
+
+def _fused_args(seed, **kw):
+    from mvxnet_makise_tpu.ops.pallas_column_merge import merge_taps_fused
+    y, col_cy, bounds, _ = _cols(seed, **kw)
+    rng = np.random.default_rng(seed + 100)
+    bias = jnp.asarray(rng.normal(size=(R,)).astype(np.float32))
+    return merge_taps_fused, y, col_cy, bounds, bias
+
+
+def test_merge_fused_matches_reference():
+    fused, y, col_cy, bounds, bias = _fused_args(10)
+    out, stats = fused(y, col_cy, bounds, bias, GRID, "pallas")
+    ref_out, ref_stats = fused(y, col_cy, bounds, bias, GRID, "xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(ref_stats),
+                               rtol=1e-5, atol=1e-5)
+    # spot-check semantics: out == relu(merge + bias)
+    merged = merge_taps(y, col_cy, bounds, GRID, "xla")
+    want = np.maximum(np.asarray(merged) + np.asarray(bias), 0.0)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_merge_fused_multi_chunk_and_empty():
+    fused, y, col_cy, bounds, bias = _fused_args(11, V=96, dense_row=True)
+    bounds = bounds.at[1].set(0)      # frame 1 empty
+    out, stats = fused(y, col_cy, bounds, bias, GRID, "pallas")
+    ref_out, ref_stats = fused(y, col_cy, bounds, bias, GRID, "xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(ref_stats),
+                               rtol=1e-5, atol=1e-5)
+    # empty frame: every cell is relu(bias), stats follow
+    want_row = np.maximum(np.asarray(bias), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out)[1], np.broadcast_to(want_row, out[1].shape),
+        rtol=1e-6, atol=1e-7)
+
+
+def test_merge_fused_grad_matches_composition():
+    fused, y, col_cy, bounds, bias = _fused_args(12)
+    ny = GRID[1]
+    rng = np.random.default_rng(55)
+    w = jnp.asarray(rng.normal(size=(2, GRID[0], ny, R)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(2, GRID[0], 2, R)).astype(np.float32))
+
+    def f(yv, bv, backend):
+        out, stats = fused(yv, col_cy, bounds, bv, GRID, backend)
+        return jnp.sum(out * w) + jnp.sum(stats * ws)
+
+    gk = jax.grad(f, argnums=(0, 1))(y, bias, "pallas")
+    gr = jax.grad(lambda yv, bv: jnp.sum(
+        jnp.maximum(merge_taps(yv, col_cy, bounds, GRID, "xla") + bv,
+                    0.0) * w)
+        + jnp.sum(jnp.stack([
+            jnp.sum(jnp.maximum(merge_taps(yv, col_cy, bounds, GRID,
+                                           "xla") + bv, 0.0), axis=2),
+            jnp.sum(jnp.square(jnp.maximum(
+                merge_taps(yv, col_cy, bounds, GRID, "xla") + bv, 0.0)),
+                axis=2)], axis=2) * ws),
+        argnums=(0, 1))(y, bias)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-5)
