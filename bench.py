@@ -90,12 +90,14 @@ def main():
         batch = frames_to_batch(points, num_points, images,
                                 jnp.zeros((args.batch, 1, 7)),
                                 jnp.zeros((args.batch, 1), bool), cfg)
+        from mvxnet_makise_tpu.train.state import make_apply
+
         cparams = cast_for_compute(params, cfg.use_bf16)
         from mvxnet_makise_tpu.train.step import (
             cast_batch_for_compute)
 
         cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
-        score, reg = model.apply(
+        score, reg = make_apply(model, cfg)(
             cparams, *_model_inputs(cbatch, with_images))
         return score.astype(jnp.float32), reg.astype(jnp.float32)
 
@@ -111,7 +113,10 @@ def main():
 
         anchors = create_anchors(cfg.feature_map_shape, cfg.velo_range,
                                  cfg.anchor_sizes)
-        tstate = TrainState.create(model.apply, params, make_optimizer(cfg))
+        from mvxnet_makise_tpu.train.state import make_apply
+
+        tstate = TrainState.create(make_apply(model, cfg), params,
+                                   make_optimizer(cfg))
         tstep = make_full_train_step(cfg, anchors, with_images)
         gts = jnp.asarray(fb.gt_boxes)
         gms = jnp.asarray(fb.gt_mask)

@@ -87,6 +87,13 @@ class Config:
     # compute in bfloat16 (TPU-native analogue of the reference's fp16 AMP,
     # train.py:123; no loss scaler is needed for bf16).
     use_bf16: bool = False
+    # stateless-norm statistics scope.  "sample" = every sample
+    # normalized with its own statistics (vmapped model) — the
+    # reference's exact semantics, since it only ever runs batch 1
+    # (MVXNet.py:22-24); "batch" = statistics over the whole batch
+    # (rounds 1-2 behaviour; couples samples through every norm layer,
+    # measured to stall convergence on diverse scenes at batch >= 4).
+    norm_scope: str = "sample"
     seed: int = 0
     checkpoint_dir: str = "./checkpoints"
     # keep only the newest N per-epoch checkpoints (0 = keep all, the

@@ -62,9 +62,19 @@ def _box_surface_points(rng: np.random.Generator, b: np.ndarray,
 
 
 def _random_boxes(rng: np.random.Generator, cfg: Config, n: int,
-                  size) -> np.ndarray:
+                  size, yaw_range=(-np.pi, np.pi)) -> np.ndarray:
     """n ground-standing boxes of roughly the given (l, w, h) inside the
-    camera frustum and cfg.velo_range."""
+    camera frustum and cfg.velo_range.
+
+    ``yaw_range``: yaw label distribution.  The default matches rounds
+    1-2 (uniform over the full circle).  NB the toy boxes are
+    geometrically symmetric under yaw -> yaw+pi, so full-circle labels
+    make the raw delta-theta regression target (reference Loss.py:40
+    semantics, no sin encoding) irreducibly bimodal; training
+    protocols should use a heading-unambiguous range such as
+    (-pi/6, pi/6), which also matches the reference's operating regime
+    (KITTI cars are predominantly road-aligned).
+    """
     x0, y0, z0, x1, y1, z1 = cfg.velo_range
     boxes = np.zeros((n, 7), dtype=np.float32)
     boxes[:, 0] = rng.uniform(6, x1 * 0.9, n)
@@ -73,14 +83,15 @@ def _random_boxes(rng: np.random.Generator, cfg: Config, n: int,
     boxes[:, 2] = rng.uniform(-1.8, -1.4, n)
     boxes[:, 3:6] = np.asarray(size) * \
         rng.uniform(0.9, 1.15, (n, 3)).astype(np.float32)
-    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    boxes[:, 6] = rng.uniform(yaw_range[0], yaw_range[1], n)
     return boxes
 
 
 def synthetic_frame_multiclass(rng: np.random.Generator,
                                cfg: Config,
                                counts=None,
-                               num_points: int = 18000):
+                               num_points: int = 18000,
+                               yaw_range=(-np.pi, np.pi)):
     """Multi-class synthetic frame for cfg.target_classes.
 
     Returns (points (N, 4), calib, image, {class: (G_c, 7) boxes}).
@@ -99,7 +110,7 @@ def synthetic_frame_multiclass(rng: np.random.Generator,
     n_box_pts = int(num_points * 0.35)
     for cls, size in zip(cfg.target_classes, cfg.anchor_sizes):
         n = counts.get(cls, 0)
-        boxes = _random_boxes(rng, cfg, n, size)
+        boxes = _random_boxes(rng, cfg, n, size, yaw_range)
         boxes_by_class[cls] = boxes
         per_box = max(n_box_pts // max(n_objects, 1), 40)
         for b in boxes:
@@ -128,6 +139,7 @@ def synthetic_frame(rng: np.random.Generator,
                     cfg: Config,
                     num_cars: int = 8,
                     num_points: int = 18000,
+                    yaw_range=(-np.pi, np.pi),
                     ) -> Tuple[np.ndarray, Calib, np.ndarray, np.ndarray]:
     """Returns (points (N, 4), calib, image (H, W, 3) f32, gt_boxes (G, 7)).
 
@@ -145,7 +157,9 @@ def synthetic_frame(rng: np.random.Generator,
     boxes[:, 2] = rng.uniform(-1.8, -1.4, num_cars)      # ground height
     boxes[:, 3:6] = np.asarray(cfg.car_size) * \
         rng.uniform(0.9, 1.15, (num_cars, 3)).astype(np.float32)
-    boxes[:, 6] = rng.uniform(-np.pi, np.pi, num_cars)
+    # see _random_boxes on yaw_range (heading ambiguity of symmetric
+    # toy boxes under the reference's raw delta-theta encoding)
+    boxes[:, 6] = rng.uniform(yaw_range[0], yaw_range[1], num_cars)
 
     n_box_pts = int(num_points * 0.35)
     n_ground = num_points - n_box_pts

@@ -44,8 +44,10 @@ def run_eval(cfg, frames, state_params, model, with_images: bool,
         from mvxnet_makise_tpu.train.step import (
             cast_batch_for_compute)
 
+        from mvxnet_makise_tpu.train.state import make_apply
+
         cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
-        score, reg = model.apply(
+        score, reg = make_apply(model, cfg)(
             cparams, *_model_inputs(cbatch, with_images))
         return jax.vmap(lambda s, r: decode_predictions(
             s.astype(jnp.float32), r.astype(jnp.float32), anchors,

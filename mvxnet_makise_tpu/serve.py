@@ -112,9 +112,11 @@ class Detector:
                 points, num_points, images,
                 jnp.zeros((batch_size, 1, 7)),
                 jnp.zeros((batch_size, 1), bool), cfg)
+            from mvxnet_makise_tpu.train.state import make_apply
+
             cparams = cast_for_compute(params, cfg.use_bf16)
             cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
-            score, reg = self.model.apply(
+            score, reg = make_apply(self.model, cfg)(
                 cparams, *_model_inputs(cbatch, self.with_images))
             return jax.vmap(lambda s, r: decode_predictions(
                 s.astype(jnp.float32), r.astype(jnp.float32),

@@ -184,7 +184,10 @@ def build_model_and_state(cfg: Config, with_images: bool,
     if image_weights is not None and with_images:
         params = _install_image_weights(params, image_weights)
 
-    state = TrainState.create(model.apply, params, make_optimizer(cfg))
+    from mvxnet_makise_tpu.train.state import make_apply
+
+    state = TrainState.create(make_apply(model, cfg), params,
+                              make_optimizer(cfg))
     return model, state
 
 

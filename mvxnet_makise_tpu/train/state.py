@@ -59,6 +59,33 @@ class TrainState(flax.struct.PyTreeNode):
                             opt_state=new_opt)
 
 
+def per_sample_apply(apply_fn: Callable) -> Callable:
+    """Wrap a batched model apply so every sample runs with batch-size-1
+    semantics (vmapped, so XLA still batches the compute).
+
+    Why this exists: the stateless norms (torch BN with affine=False,
+    track_running_stats=False — reference Blocks.py:5-51, config.yml:19-20)
+    compute statistics over the batch.  The reference only ever runs
+    batch 1 (MVXNet.py:22-24), where that IS per-sample normalization.
+    Batched training with batch-wide statistics couples samples through
+    every norm layer — a semantics change that (measured, round 3)
+    stalls convergence on diverse scenes.  norm_scope='sample' restores
+    the reference function exactly at any batch size."""
+    def wrapped(params, *inputs):
+        def one(*xs):
+            out = apply_fn(params, *[x[None] for x in xs])
+            return jax.tree.map(lambda o: o[0], out)
+        return jax.vmap(one)(*inputs)
+    return wrapped
+
+
+def make_apply(model, cfg) -> Callable:
+    """The model's apply under cfg.norm_scope ('batch' | 'sample')."""
+    if getattr(cfg, "norm_scope", "batch") == "sample":
+        return per_sample_apply(model.apply)
+    return model.apply
+
+
 def cast_for_compute(tree, use_bf16: bool):
     """Cast float leaves to bf16 for the forward/backward pass."""
     if not use_bf16:
