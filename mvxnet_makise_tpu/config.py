@@ -81,6 +81,11 @@ class Config:
     # ---- training ----
     batch_size: int = 1
     learning_rate: float = 1e-3
+    # "constant" = reference behaviour (flat AdamW, train.py:64);
+    # "cosine" = warmup + cosine decay extension (see train/state.py)
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 200
+    lr_decay_steps: int = 10_000
     num_epochs: int = 10
     pos_loss_weight: float = 1.5   # reference Loss.py a=1.5
     neg_loss_weight: float = 1.0   # reference Loss.py b=1

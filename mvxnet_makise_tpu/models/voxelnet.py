@@ -338,12 +338,15 @@ class ColumnConv1ReluNorm(nn.Module):
     ConvReluNorm(name='conv1') — checkpoints interchange with the dense
     path.
 
-    ``merge_backend``: "auto" resolves to the Pallas one-hot-matmul
-    merge kernel (ops/pallas_column_merge.py — XLA's scatter-add is
-    row-issue-bound at ~40-65 ns/row on TPU, slower than the dense conv
-    it replaces); "xla" keeps the scatter-add form (the oracle, and the
-    automatic choice under float64 test runs, which Mosaic does not
-    support)."""
+    ``merge_backend``: "auto" resolves to the fused Pallas merge kernel
+    (ops/pallas_column_merge.merge_taps_fused — one-hot positioning
+    matmuls on the MXU with the bias/relu/standardize-statistics
+    epilogue fused in; XLA's scatter-add is row-issue-bound at
+    ~40-65 ns/row on TPU, slower than the dense conv it replaces);
+    "xla" runs the same fused semantics as an XLA scatter-add
+    composition (the oracle, and the automatic choice under float64
+    test runs, which Mosaic does not support); any other value selects
+    the per-frame column_conv1_d2 oracle with an unfused epilogue."""
     features: int
     in_features: int
     grid_shape: Sequence[int] = (352, 400, 10)

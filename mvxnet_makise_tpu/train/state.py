@@ -34,8 +34,22 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         return jax.tree_util.tree_map_with_path(
             lambda p, _: "frozen" if is_frozen_path(p) else "train", params)
 
+    # lr schedule: "constant" is the reference (train.py:64 — flat
+    # AdamW 1e-3 for the whole run); "cosine" (warmup -> cosine decay
+    # to lr/20) is a framework extension for long runs where the flat
+    # rate keeps the stateless-norm features churning.
+    if cfg.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.learning_rate / 25,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.lr_warmup_steps,
+            decay_steps=max(cfg.lr_decay_steps, cfg.lr_warmup_steps + 1),
+            end_value=cfg.learning_rate / 20)
+    else:
+        lr = cfg.learning_rate
+
     return optax.multi_transform(
-        {"train": optax.adamw(cfg.learning_rate, eps=cfg.eps),
+        {"train": optax.adamw(lr, eps=cfg.eps),
          "frozen": optax.set_to_zero()},
         label_fn)
 
