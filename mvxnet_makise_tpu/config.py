@@ -89,6 +89,17 @@ class Config:
     num_epochs: int = 10
     pos_loss_weight: float = 1.5   # reference Loss.py a=1.5
     neg_loss_weight: float = 1.0   # reference Loss.py b=1
+    # Classification loss formulation.  "reference" = the VoxelNet-style
+    # two-term CE with pos/Npos + neg/Nneg normalization (Loss.py:15-31).
+    # "focal" = sigmoid focal loss with BOTH terms normalized by Npos
+    # (the SECOND/PointPillars recipe).  The reference normalization
+    # gives each positive anchor ~ (Nneg/Npos) x the per-anchor gradient
+    # of a negative, which makes "score the car-prior region ~1" a deep
+    # input-independent local optimum on small/concentrated datasets —
+    # measured on synthetic generalization runs (docs/STATUS.md round 3).
+    cls_loss_mode: str = "reference"   # "reference" | "focal"
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
     # compute in bfloat16 (TPU-native analogue of the reference's fp16 AMP,
     # train.py:123; no loss scaler is needed for bf16).
     use_bf16: bool = False

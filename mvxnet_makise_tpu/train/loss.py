@@ -50,6 +50,9 @@ def voxel_loss(score: jnp.ndarray,
                pos_weight: float = 1.5,
                neg_weight: float = 1.0,
                eps: float = 1e-6,
+               mode: str = "reference",
+               focal_gamma: float = 2.0,
+               focal_alpha: float = 0.25,
                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Single-frame detection loss.
 
@@ -73,10 +76,25 @@ def voxel_loss(score: jnp.ndarray,
     pos_nll = -jnp.log(score + eps)
     neg_nll = -jnp.log(1.0 - score + eps)
 
-    pos_loss = jnp.sum(jnp.where(pos, pos_nll, 0.0)) / (num_pos + eps)
-    neg_loss = jnp.sum(jnp.where(not_neg, 0.0, neg_nll)) / (
-        total - num_not_neg + eps)
-    cls_loss = pos_weight * pos_loss + neg_weight * neg_loss
+    if mode == "focal":
+        # Sigmoid focal loss, SECOND / PointPillars semantics: both the
+        # positive and the negative term are normalized by num_pos, so a
+        # negative anchor's gradient is not diluted by the ~Nneg/Npos
+        # ratio of the reference normalization.  (Lin et al. 2017 focal
+        # loss; framework extension — not in the reference.)
+        pos_focal = focal_alpha * (1.0 - score) ** focal_gamma * pos_nll
+        neg_focal = (1.0 - focal_alpha) * score ** focal_gamma * neg_nll
+        denom = jnp.maximum(num_pos, 1.0)
+        pos_loss = jnp.sum(jnp.where(pos, pos_focal, 0.0)) / denom
+        neg_loss = jnp.sum(jnp.where(not_neg, 0.0, neg_focal)) / denom
+        cls_loss = pos_weight * pos_loss + neg_weight * neg_loss
+    elif mode == "reference":
+        pos_loss = jnp.sum(jnp.where(pos, pos_nll, 0.0)) / (num_pos + eps)
+        neg_loss = jnp.sum(jnp.where(not_neg, 0.0, neg_nll)) / (
+            total - num_not_neg + eps)
+        cls_loss = pos_weight * pos_loss + neg_weight * neg_loss
+    else:
+        raise ValueError(f"unknown cls_loss_mode {mode!r}")
 
     # regression over positive anchors
     reg = reg.reshape(H, W, A, -1)

@@ -150,7 +150,10 @@ def compute_loss(params, batch: Batch, targets, anchors, apply_fn,
     def per_frame(s, r, t, g):
         return voxel_loss(s, r, t, g, jnp.asarray(anchors),
                           pos_weight=cfg.pos_loss_weight,
-                          neg_weight=cfg.neg_loss_weight, eps=cfg.eps)
+                          neg_weight=cfg.neg_loss_weight, eps=cfg.eps,
+                          mode=cfg.cls_loss_mode,
+                          focal_gamma=cfg.focal_gamma,
+                          focal_alpha=cfg.focal_alpha)
 
     losses, metrics = jax.vmap(per_frame)(
         score, reg, targets, batch.gt_boxes)
