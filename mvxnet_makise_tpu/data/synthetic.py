@@ -19,14 +19,21 @@ from mvxnet_makise_tpu.geometry.calib import Calib
 
 def toy_calib(image_size=(370, 1224)) -> Calib:
     """KITTI-like calibration: camera at the LiDAR origin looking +x,
-    focal length ~720 px, principal point at the image centre."""
+    principal point at the image centre, focal length scaled with the
+    image width so the horizontal FOV stays KITTI's ~80 degrees at ANY
+    toy image size (720 px at w=1224).  A fixed 720 px focal — the old
+    behavior — collapses a 96 px-wide toy camera to a ~7.6-degree
+    soda-straw FOV, and the frustum crop then silently drops ~100% of
+    synthetic points (the root cause of the round-3 generalization
+    stall: every small-world training run saw 20-60-point frames)."""
     h, w = image_size
+    f = 720.0 * (w / 1224.0)
     v2c = np.array([[0, -1, 0, 0],
                     [0, 0, -1, 0],
                     [1, 0, 0, 0],
                     [0, 0, 0, 1]], dtype=np.float32)
-    p2 = np.array([[720, 0, w / 2, 0],
-                   [0, 720, h / 2, 0],
+    p2 = np.array([[f, 0, w / 2, 0],
+                   [0, f, h / 2, 0],
                    [0, 0, 1, 0],
                    [0, 0, 0, 1]], dtype=np.float32)
     r0 = np.eye(4, dtype=np.float32)
