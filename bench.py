@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="measure the fused training step instead of "
                          "inference")
+    ap.add_argument("--max-points", type=int, default=0,
+                    help="override Config.max_points (capacity sizing "
+                         "A/B; 0 = keep the default)")
     ap.add_argument("--max-seconds", type=int, default=1500,
                     help="watchdog: emit an error JSON instead of hanging "
                          "forever if the device link wedges")
@@ -69,7 +72,9 @@ def main():
     from mvxnet_makise_tpu.train.state import cast_for_compute
     from mvxnet_makise_tpu.train.step import frames_to_batch
 
-    cfg = Config(use_bf16=True, batch_size=args.batch)
+    cfg = Config(use_bf16=True, batch_size=args.batch,
+                 **({"max_points": args.max_points}
+                    if args.max_points else {}))
     rng = np.random.default_rng(0)
 
     # host-side: synthesize + pad a batch of KITTI-like frames

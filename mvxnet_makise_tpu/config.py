@@ -90,13 +90,14 @@ class Config:
     pos_loss_weight: float = 1.5   # reference Loss.py a=1.5
     neg_loss_weight: float = 1.0   # reference Loss.py b=1
     # Classification loss formulation.  "reference" = the VoxelNet-style
-    # two-term CE with pos/Npos + neg/Nneg normalization (Loss.py:15-31).
-    # "focal" = sigmoid focal loss with BOTH terms normalized by Npos
-    # (the SECOND/PointPillars recipe).  The reference normalization
-    # gives each positive anchor ~ (Nneg/Npos) x the per-anchor gradient
-    # of a negative, which makes "score the car-prior region ~1" a deep
-    # input-independent local optimum on small/concentrated datasets —
-    # measured on synthetic generalization runs (docs/STATUS.md round 3).
+    # two-term CE with pos/Npos + neg/Nneg normalization (Loss.py:15-31)
+    # — the default, and verified to generalize on the synthetic
+    # held-out protocol (tools/gen_experiment.py).  "focal" = sigmoid
+    # focal loss with BOTH terms normalized by Npos (the SECOND/
+    # PointPillars recipe), offered because the reference normalization
+    # dilutes each negative's per-anchor gradient by ~Nneg/Npos (see
+    # the gradient-scale property test in tests/test_models.py), which
+    # slows score-ranking convergence on sparse-positive data.
     cls_loss_mode: str = "reference"   # "reference" | "focal"
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25

@@ -5,13 +5,17 @@ The reference proves its training recipe only empirically on KITTI
 (/root/reference/train.py:51-180).  Without KITTI data in this
 environment, this tool is the equivalent protocol on the framework's
 own synthetic world: train on a fixed pool of fresh-draw frames and
-evaluate AP on frames the model has never seen.  It exists to answer
-ONE question — does the recipe generalize (held-out AP > 0)? — and it
-is the experiment harness behind the `cls_loss_mode="focal"` option
-(see config.py): under the reference loss normalization an 80k-step
-run sat at val AP@0.7 = 0 with byte-identical top detections across
-input frames (an input-independent prior optimum); focal
-normalization escapes it.
+evaluate AP on frames the model has never seen.  It answers ONE
+question — does the recipe generalize (held-out AP > 0)?
+
+History: an 80k-step run of this protocol once sat at val AP = 0 with
+byte-identical top detections across frames.  The cause was NOT the
+training recipe — toy_calib's fixed focal length had collapsed the
+small toy camera's FOV and the frustum crop dropped ~100% of points,
+so every frame was 20-60 points of noise (fixed in data/synthetic.py).
+With real data the reference loss generalizes; `--loss focal` remains
+available for its faster score-ranking convergence (negatives are not
+gradient-diluted by ~Nneg/Npos).
 
 Usage (TPU recommended; CPU works at reduced --steps):
     python -m mvxnet_makise_tpu.tools.gen_experiment \
