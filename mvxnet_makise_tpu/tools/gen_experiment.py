@@ -32,8 +32,11 @@ from mvxnet_makise_tpu.utils.compile_cache import enable_persistent_cache
 
 
 def make_config(loss_mode: str, lr: float, batch_size: int,
-                world: int = 64):
+                world: int = 64, classes: int = 1):
     from mvxnet_makise_tpu.config import Config
+
+    target = ("Car", "Pedestrian", "Cyclist")[:classes] \
+        if classes > 1 else ("Car",)
 
     # A KITTI-like anchor stride (0.4 x 0.5 m) in a small world: coarser
     # strides were measured to starve mid-cell GTs of IoU>=0.6 anchors
@@ -49,27 +52,38 @@ def make_config(loss_mode: str, lr: float, batch_size: int,
         assign_best_anchor_fallback=True,
         batch_size=batch_size, learning_rate=lr, num_epochs=1,
         cls_loss_mode=loss_mode,
+        target_classes=target,
         fusion_mode="pm")
 
 
 def make_frame(i: int, gen: np.random.Generator, cfg):
     from mvxnet_makise_tpu.data.kitti import KittiFrame
-    from mvxnet_makise_tpu.data.synthetic import synthetic_frame
+    from mvxnet_makise_tpu.data.synthetic import (synthetic_frame,
+                                                  synthetic_frame_multiclass)
 
-    pts, calib, image, boxes = synthetic_frame(
-        gen, cfg, num_cars=3, num_points=2000,
-        yaw_range=(-np.pi / 6, np.pi / 6))
+    yaw = (-np.pi / 6, np.pi / 6)
+    if len(cfg.target_classes) > 1:
+        counts = {c: (2 if s[0] > 3.0 else 1)
+                  for c, s in zip(cfg.target_classes, cfg.anchor_sizes)}
+        pts, calib, image, boxes = synthetic_frame_multiclass(
+            gen, cfg, counts=counts, num_points=2000, yaw_range=yaw)
+    else:
+        pts, calib, image, car = synthetic_frame(
+            gen, cfg, num_cars=3, num_points=2000, yaw_range=yaw)
+        boxes = {"Car": car}
     return KittiFrame(
         frame_id=f"s{i:05d}", points=pts, image=image, calib=calib,
-        boxes={"Car": boxes},
-        bbox2d={"Car": np.zeros((len(boxes), 4), np.float32)},
-        difficulty={"Car": np.ones(len(boxes), np.int32)})
+        boxes=boxes,
+        bbox2d={c: np.zeros((len(b), 4), np.float32)
+                for c, b in boxes.items()},
+        difficulty={c: np.ones(len(b), np.int32)
+                    for c, b in boxes.items()})
 
 
 def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
         lr: float, batch_size: int, n_val: int = 32,
         log_every: int = 1000, ap_floor: float | None = None,
-        world: int = 64) -> dict:
+        world: int = 64, classes: int = 1) -> dict:
     """Train `steps` fused steps on a `pool_size`-frame pool; report
     held-out AP every `eval_every` steps.  Returns the last eval dict
     {iou_thr: {"ap": ..., "recall": ...}}."""
@@ -81,7 +95,7 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
                                               make_full_train_step,
                                               preprocess_train_frame)
 
-    cfg = make_config(loss_mode, lr, batch_size, world)
+    cfg = make_config(loss_mode, lr, batch_size, world, classes)
     anchors = create_anchors(cfg.feature_map_shape, cfg.velo_range,
                              cfg.anchor_sizes)
     model, state = build_model_and_state(cfg, with_images=False)
@@ -91,13 +105,14 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
     B = cfg.batch_size
 
     print(f"building pool ({pool_size} frames)...", flush=True)
-    pool = [preprocess_train_frame(make_frame(i, rng, cfg), cfg, None, rng)[0]
+    pool = [preprocess_train_frame(make_frame(i, rng, cfg), cfg, None, rng)
             for i in range(pool_size)]
-    pts = np.stack([f.points for f in pool])
-    nps = np.asarray([f.num_points for f in pool], np.int32)
-    imgs = np.stack([f.image for f in pool])
-    gts = np.stack([f.gt_boxes for f in pool])
-    gms = np.stack([f.gt_mask for f in pool])
+    pts = np.stack([f.points for f, _ in pool])
+    nps = np.asarray([f.num_points for f, _ in pool], np.int32)
+    imgs = np.stack([f.image for f, _ in pool])
+    gts = np.stack([f.gt_boxes for f, _ in pool])
+    gms = np.stack([f.gt_mask for f, _ in pool])
+    gcs = np.stack([c for _, c in pool])
 
     vrng = np.random.default_rng(10_000)
     val = [make_frame(10_000 + i, vrng, cfg) for i in range(n_val)]
@@ -109,8 +124,7 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
         idx = rng.integers(0, pool_size, B)
         key, sub = jax.random.split(key)
         state, metrics = step(state, pts[idx], nps[idx], imgs[idx],
-                              gts[idx], gms[idx],
-                              np.zeros((B, gms.shape[1]), np.int32), sub)
+                              gts[idx], gms[idx], gcs[idx], sub)
         hist.append(metrics)
         if (it + 1) % log_every == 0:
             import jax as _jax
@@ -122,11 +136,18 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
         if (it + 1) % eval_every == 0 or it + 1 == steps:
             last = {}
             for thr in (0.7, 0.5):
-                r = run_eval(cfg, val, state.params, model, False,
-                             iou_threshold=thr)["Car"]["all"]
+                res = run_eval(cfg, val, state.params, model, False,
+                               iou_threshold=thr)
+                r = res["Car"]["all"]
                 last[thr] = {"ap": r["ap"], "recall": r["recall"]}
-                print(f"  step {it+1} VAL AP@{thr}: ap={r['ap']:.4f} "
-                      f"recall={r['recall']:.3f}", flush=True)
+                for cname in cfg.target_classes:
+                    rc = res[cname]["all"]
+                    last.setdefault("per_class", {}).setdefault(
+                        thr, {})[cname] = {"ap": rc["ap"],
+                                           "recall": rc["recall"]}
+                    print(f"  step {it+1} VAL {cname} AP@{thr}: "
+                          f"ap={rc['ap']:.4f} recall={rc['recall']:.3f}",
+                          flush=True)
             if ap_floor is not None and last[0.5]["ap"] >= ap_floor:
                 print(f"ap floor {ap_floor} reached, stopping", flush=True)
                 break
@@ -138,18 +159,21 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=30_000)
     p.add_argument("--pool", type=int, default=512)
     p.add_argument("--eval-every", type=int, default=5_000)
-    p.add_argument("--loss", default="focal",
-                   choices=("focal", "reference"))
+    p.add_argument("--loss", default="reference",
+                   choices=("reference", "focal"))
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--ap-floor", type=float, default=None,
                    help="stop early once val AP@0.5 reaches this")
     p.add_argument("--world", type=int, default=64,
                    help="BEV grid size (64 = KITTI-like stride; 32 = CPU-scale)")
+    p.add_argument("--classes", type=int, default=1, choices=(1, 2, 3),
+                   help="1 = Car only; 3 = Car/Pedestrian/Cyclist")
     args = p.parse_args()
     enable_persistent_cache()
     run(args.steps, args.pool, args.eval_every, args.loss, args.lr,
-        args.batch_size, ap_floor=args.ap_floor, world=args.world)
+        args.batch_size, ap_floor=args.ap_floor, world=args.world,
+        classes=args.classes)
     return 0
 
 
