@@ -30,6 +30,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     B = args.batch
 
+    from mvxnet_makise_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+
     import numpy as np
     import jax
     import jax.numpy as jnp
