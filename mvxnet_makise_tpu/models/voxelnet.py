@@ -119,6 +119,45 @@ class Conv3DFoldedReluNorm(nn.Module):
         return standardize(y, self.eps)
 
 
+class ConvReluNormDLast(nn.Module):
+    """ConvReluNorm for depth-minor (B, H, W, D, C) inputs.
+
+    Same parameter tree, init, and math as
+    ``ConvReluNorm(features, (3, 3, 3), strides, padding)`` on a
+    (B, D, H, W, C) tensor — kernel stays (kd, kh, kw, I, O) so
+    reference checkpoints import 1:1; only the compute layout differs
+    (the (3, 3) kernel transpose below is 27*I*O elements, free).
+
+    TPU motivation: the column-compacted conv1 merge kernel emits
+    d-minor packed rows ((B, nx, ny, d*C), ops/pallas_column_merge) and
+    the RPN fold wants (C, D)-flattened channels — running conv2/conv3
+    in the d-minor layout removes the two (B, *, H, W, *) relayouts
+    (~1.7 GB of HBM traffic per batch-8) the d-leading layout forces.
+    ``strides``/``padding`` are given in (d, h, w) order, as everywhere
+    else in this file.
+    """
+    features: int
+    strides: Tuple[int, int, int]
+    padding: Tuple[Tuple[int, int], ...]
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, H, W, D, C)
+        kernel, bias = _Conv3DParams(self.features, x.shape[-1],
+                                     name="conv")()
+        sd, sh, sw = self.strides
+        pd, ph, pw = self.padding
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        k = jnp.transpose(kernel, (1, 2, 0, 3, 4))   # (kh, kw, kd, I, O)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), k.astype(dt), window_strides=(sh, sw, sd),
+            padding=(tuple(ph), tuple(pw), tuple(pd)),
+            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+        y = nn.relu(y + bias.astype(dt))
+        return standardize(y, self.eps)
+
+
 class Conv3DShiftedReluNorm(nn.Module):
     """3D conv computed as THREE shifted 2D convs accumulated.
 
@@ -352,6 +391,10 @@ class ColumnConv1ReluNorm(nn.Module):
     grid_shape: Sequence[int] = (352, 400, 10)
     eps: float = 1e-6
     merge_backend: str = "auto"    # "auto" | "pallas" | "xla"
+    d_last: bool = False           # emit (B, nx, ny, d, C) instead of
+    #                                (B, d, nx, ny, C): the merge kernel
+    #                                packs d-minor, so this skips a
+    #                                1.4 GB/batch-8 relayout
 
     @nn.compact
     def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
@@ -400,9 +443,9 @@ class ColumnConv1ReluNorm(nn.Module):
             n = B * nx * ny * d_out
             mean = s[0] / n
             var = s[1] / n - mean * mean
-            x = jnp.transpose(
-                out.reshape(B, nx, ny, d_out, self.features),
-                (0, 3, 1, 2, 4))
+            x = out.reshape(B, nx, ny, d_out, self.features)
+            if not self.d_last:
+                x = jnp.transpose(x, (0, 3, 1, 2, 4))
             inv = jax.lax.rsqrt(var + self.eps)
             return ((x.astype(mean.dtype) - mean) * inv).astype(x.dtype)
 
@@ -414,6 +457,8 @@ class ColumnConv1ReluNorm(nn.Module):
                                    self.grid_shape)
 
         x = jax.vmap(one)(vfeat, coords, vmask)    # (B,5,H,W,Co) f32
+        if self.d_last:
+            x = jnp.transpose(x, (0, 2, 3, 1, 4))  # (B,H,W,5,Co)
         # bias lands on every cell (incl. inactive ones) and the epilogue
         # reduces over the whole batch — dense ConvReluNorm semantics
         x = nn.relu((x + bias).astype(vfeat.dtype))
@@ -423,10 +468,14 @@ class ColumnConv1ReluNorm(nn.Module):
 class MiddleConvLayersColumn(nn.Module):
     """CML with the column-compacted first layer
     (:class:`ColumnConv1ReluNorm`); conv2/conv3 stay dense 3D (their
-    input is 4x smaller and BEV occupancy dilates past useful sparsity).
-    Same parameter tree as MiddleConvLayers — checkpoints interchange;
-    equivalence is tested in tests/test_column_cml.py.  Replaces the
-    reference's scatter+dense pipeline at VoxelNet.py:16-22 / Pipe.py:33."""
+    input is 4x smaller and BEV occupancy dilates past useful sparsity)
+    but run in the depth-minor (B, H, W, D, C) layout the merge kernel
+    already emits (:class:`ConvReluNormDLast`), so no big relayout sits
+    between conv1 and the RPN fold.  **Returns (B, H, W, D, C)** —
+    unlike MiddleConvLayers' (B, D, H, W, C).  Same parameter tree as
+    MiddleConvLayers — checkpoints interchange; equivalence is tested in
+    tests/test_column_cml.py.  Replaces the reference's scatter+dense
+    pipeline at VoxelNet.py:16-22 / Pipe.py:33."""
     eps: float = 1e-6
     grid_shape: Sequence[int] = (352, 400, 10)
 
@@ -435,13 +484,13 @@ class MiddleConvLayersColumn(nn.Module):
                  vmask: jnp.ndarray) -> jnp.ndarray:
         x = ColumnConv1ReluNorm(
             64, vfeat.shape[-1], tuple(self.grid_shape), self.eps,
-            name="conv1")(vfeat, coords, vmask)              # (B,5,H,W,64)
-        x = ConvReluNorm(64, (3, 3, 3), (1, 1, 1),
-                         ((0, 0), (1, 1), (1, 1)), self.eps,
-                         xavier=False, name="conv2")(x)      # D 5->3
-        x = ConvReluNorm(64, (3, 3, 3), (2, 1, 1),
-                         ((1, 1), (1, 1), (1, 1)), self.eps,
-                         xavier=False, name="conv3")(x)      # D 3->2
+            d_last=True, name="conv1")(vfeat, coords, vmask)  # (B,H,W,5,64)
+        x = ConvReluNormDLast(64, (1, 1, 1),
+                              ((0, 0), (1, 1), (1, 1)), self.eps,
+                              name="conv2")(x)               # D 5->3
+        x = ConvReluNormDLast(64, (2, 1, 1),
+                              ((1, 1), (1, 1), (1, 1)), self.eps,
+                              name="conv3")(x)               # D 3->2
         return x
 
 
@@ -546,7 +595,12 @@ class VoxelNetBranch(nn.Module):
             cml_cls = nn.remat(MiddleConvLayersColumn) if self.remat \
                 else MiddleConvLayersColumn
             x = cml_cls(self.eps, tuple(self.grid_shape),
-                        name="cml")(x, coords, mask)
+                        name="cml")(x, coords, mask)   # (B, H, W, D, C)
+            B, H, W, D, C = x.shape
+            # (C, D) torch flattening order, from the d-minor layout
+            x = jnp.transpose(x, (0, 1, 2, 4, 3)).reshape(B, H, W, C * D)
+            return RPN(self.anchors_per_loc, self.box_dim, self.eps,
+                       name="rpn")(x)
         elif self.cml_mode == "banded":
             cml_cls = nn.remat(MiddleConvLayersBanded) if self.remat \
                 else MiddleConvLayersBanded

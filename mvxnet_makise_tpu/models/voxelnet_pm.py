@@ -162,7 +162,12 @@ class VoxelNetBranchPM(nn.Module):
             cml_cls = nn.remat(MiddleConvLayersColumn) if self.remat \
                 else MiddleConvLayersColumn
             y = cml_cls(self.eps, tuple(self.grid_shape),
-                        name="cml")(vfeat, coords, vmask)
+                        name="cml")(vfeat, coords, vmask)  # (B,H,W,D,C)
+            Bd, H, W, D, C = y.shape
+            # (C, D) torch flattening order, from the d-minor layout
+            y = jnp.transpose(y, (0, 1, 2, 4, 3)).reshape(Bd, H, W, C * D)
+            return RPN(self.anchors_per_loc, self.box_dim, self.eps,
+                       name="rpn")(y)
         elif self.cml_mode == "banded":
             cml_cls = nn.remat(MiddleConvLayersBanded) if self.remat \
                 else MiddleConvLayersBanded

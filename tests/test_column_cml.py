@@ -119,7 +119,9 @@ def test_column_cml_matches_dense3d():
     ref = ref_mod.apply(params, dense_in)
 
     col_mod = MiddleConvLayersColumn(grid_shape=GRID)
-    got = col_mod.apply(params, feats, coords, mask)
+    # the column module emits the depth-minor layout (B, H, W, D, C)
+    got = jnp.transpose(col_mod.apply(params, feats, coords, mask),
+                        (0, 3, 1, 2, 4))
     # f32 tolerance: the fused merge computes the standardize variance
     # one-pass (E[x^2] - mean^2 from kernel-emitted sums) vs the dense
     # path's two-pass form — ~1e-4 divergence on normalized outputs in
