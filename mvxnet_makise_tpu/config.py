@@ -161,10 +161,13 @@ class Config:
     cml_mode: str = "column"
 
     # FPN bilinear-gather backend for the image branch: "auto" | "xla"
-    # (ops/gather.py patch-row gather) | "pallas" (ops/pallas_gather.py
-    # banded selector-matmul kernel).  The kernel measured slower at
-    # KITTI shapes (88 vs 63 ms/batch-8 head time on v5e), so auto
-    # resolves to xla — see models/image_head.PointImageHead.
+    # (ops/gather.py patch-row gather) | "xla_fused" (coarse levels
+    # merged into one wide-row gather — fewer, wider rows run the
+    # row-issue-bound gather engine at a higher byte rate) | "pallas"
+    # (ops/pallas_gather.py banded selector-matmul kernel; measured
+    # slower at KITTI shapes, 88 vs 63 ms/batch-8 head time on v5e).
+    # auto resolves by measurement — see
+    # models/image_head.PointImageHead.
     gather_backend: str = "auto"
 
     # rematerialize the CML 3D-conv stack in backward (jax.checkpoint):

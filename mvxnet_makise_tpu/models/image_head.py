@@ -151,8 +151,10 @@ class PointImageHead(nn.Module):
 
         # measured (v5e, batch 8): xla 63 ms vs pallas 88 ms for this
         # head — the banded kernel's per-step MXU selector matmuls cost
-        # more than XLA's row-gather engine at these shapes, so auto
-        # resolves to xla; the kernel stays selectable.
+        # more than XLA's row-gather engine at these shapes.  Round 3:
+        # "xla_fused" merges the two coarse levels into one wide-row
+        # gather (ops/gather.py fused_coarse) — fewer, wider rows run
+        # the row-issue-bound gather engine at a higher byte rate.
         backend = self.gather_backend
         if backend == "auto":
             backend = "xla"
@@ -175,7 +177,8 @@ class PointImageHead(nn.Module):
         gathered = jax.vmap(
             lambda feats, rc, ok: bilinear_gather_fpn(
                 feats, rc, ok, self.image_size, eps=self.eps,
-                swapped_weights=self.swapped_bilerp)
+                swapped_weights=self.swapped_bilerp,
+                fused_coarse=(backend == "xla_fused"))
         )(pyramid, points_rc, point_mask)
         return PointImageFusion(self.eps, name="fusion")(
             gathered, point_mask, n_virtual)

@@ -25,6 +25,24 @@ from typing import Sequence
 import jax.numpy as jnp
 
 
+def _patch_table(feat: jnp.ndarray) -> jnp.ndarray:
+    """(Hf, Wf, C) -> (Hf, Wf, 4C) 2x2-patch table with edge clamping.
+
+    Channel blocks are [f00, f10, f01, f11] = [(r0,c0), (r1,c0), (r0,c1),
+    (r1,c1)] taps, matching r1/c1 = min(+1, edge)."""
+    down = jnp.concatenate([feat[1:], feat[-1:]], axis=0)
+    return jnp.concatenate([
+        feat,
+        down,
+        jnp.concatenate([feat[:, 1:], feat[:, -1:]], axis=1),
+        jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1),
+    ], axis=-1)
+
+
+def _halves_exactly(fine, coarse) -> bool:
+    return fine[0] == 2 * coarse[0] and fine[1] == 2 * coarse[1]
+
+
 def bilinear_gather_fpn(features: Sequence[jnp.ndarray],
                         points_rc: jnp.ndarray,
                         valid: jnp.ndarray,
@@ -32,7 +50,8 @@ def bilinear_gather_fpn(features: Sequence[jnp.ndarray],
                         *,
                         eps: float = 1e-6,
                         swapped_weights: bool = False,
-                        patch_mode: bool = True) -> jnp.ndarray:
+                        patch_mode: bool = True,
+                        fused_coarse: bool = False) -> jnp.ndarray:
     """Gather multi-level image features at projected point locations.
 
     Args:
@@ -42,6 +61,14 @@ def bilinear_gather_fpn(features: Sequence[jnp.ndarray],
       valid: (...,) bool — zero-points/padding mask
         (Pipe.py:53-59 zero-point handling).
       image_size: (h, w) original image size.
+      fused_coarse: combine every level after the first into ONE gather
+        of (4*C*(L-1))-wide rows from a level-1-indexed table.  Exact:
+        with exactly-halving levels, ``floor(x/2 - eps) ==
+        floor(floor(x - eps)/2)`` for eps > 0, so each coarser level's
+        2x2 tap cells are a pure function of the level-1 cell; the
+        fractional bilinear weights stay per-point per-level.  The TPU
+        gather engine is row-issue-bound (~19-32 ns/row, DESIGN.md), so
+        fewer/wider rows beat more/narrower ones at equal bytes.
 
     Returns:
       (..., sum_of_level_channels) gathered features; invalid points 0.
@@ -51,59 +78,112 @@ def bilinear_gather_fpn(features: Sequence[jnp.ndarray],
     rc = points_rc.reshape(-1, 2)
     ok = valid.reshape(-1)
 
-    outs = []
+    # the fused path's O(eps)-exactness argument needs the bilinear
+    # weights to vanish at the tap cells a sliver point moved away from;
+    # textbook weights do, the reference's swapped variant is
+    # discontinuous at cell boundaries (a one-cell tap-base shift there
+    # changes the output by O(1)) — so swapped parity runs keep the
+    # per-level gather.
+    fuse_from = None
+    if fused_coarse and not swapped_weights and len(features) >= 3:
+        shapes = [f.shape[:2] for f in features]
+        if all(_halves_exactly(shapes[i], shapes[i + 1])
+               for i in range(1, len(shapes) - 1)):
+            fuse_from = 1
+
+    def bilerp(f00, f10, f01, f11, fr, fc):
+        if swapped_weights:
+            # reference Pipe.py:72-75 exact weights
+            return (f00 * fr * fc + f10 * (1 - fr) * fc
+                    + f01 * fr * (1 - fc) + f11 * (1 - fr) * (1 - fc))
+        return (f00 * (1 - fr) * (1 - fc) + f10 * fr * (1 - fc)
+                + f01 * (1 - fr) * fc + f11 * fr * fc)
+
+    # per-level integer cells + fractional weights (identical math in
+    # every mode)
+    cells = []
     for feat in features:
         Hf, Wf, C = feat.shape
         # region size maps original-image pixels to feature cells
         # (Pipe.py:41-45)
         ry = im_h / Hf
         rx = im_w / Wf
-        r = rc[:, 0] / ry - eps
-        c = rc[:, 1] / rx - eps
-        r = jnp.clip(r, 0.0, Hf - 1.0)
-        c = jnp.clip(c, 0.0, Wf - 1.0)
+        r = jnp.clip(rc[:, 0] / ry - eps, 0.0, Hf - 1.0)
+        c = jnp.clip(rc[:, 1] / rx - eps, 0.0, Wf - 1.0)
         r0 = jnp.floor(r).astype(jnp.int32)
         c0 = jnp.floor(c).astype(jnp.int32)
         # weights in the feature dtype so bf16 pipelines stay bf16 (the
         # index math above stays in the input precision)
         fr = (r - r0.astype(r.dtype))[:, None].astype(feat.dtype)
         fc = (c - c0.astype(c.dtype))[:, None].astype(feat.dtype)
-        r1 = jnp.minimum(r0 + 1, Hf - 1)
-        c1 = jnp.minimum(c0 + 1, Wf - 1)
+        cells.append((r, c, r0, c0, fr, fc))
 
+    outs = [None] * len(features)
+    for li, feat in enumerate(features):
+        if fuse_from is not None and li >= fuse_from:
+            continue
+        Hf, Wf, C = feat.shape
+        _, _, r0, c0, fr, fc = cells[li]
         if patch_mode:
             # one gather of a precomputed 2x2-patch table instead of four
             # row gathers: same bytes, 4x fewer gather rows — XLA's TPU
             # gather is row-count-bound, so this is ~3-4x faster (v5e).
             # The patch table rolls the feature map down/right with edge
             # clamping, matching the r1/c1 = min(+1, edge) taps below.
-            down = jnp.concatenate([feat[1:], feat[-1:]], axis=0)
-            patch = jnp.concatenate([
-                feat,
-                down,
-                jnp.concatenate([feat[:, 1:], feat[:, -1:]], axis=1),
-                jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1),
-            ], axis=-1).reshape(Hf * Wf, 4 * C)
+            patch = _patch_table(feat).reshape(Hf * Wf, 4 * C)
             rows = patch[r0 * Wf + c0]
             f00 = rows[:, 0 * C:1 * C]
             f10 = rows[:, 1 * C:2 * C]
             f01 = rows[:, 2 * C:3 * C]
             f11 = rows[:, 3 * C:4 * C]
         else:
+            r1 = jnp.minimum(r0 + 1, Hf - 1)
+            c1 = jnp.minimum(c0 + 1, Wf - 1)
             table = feat.reshape(Hf * Wf, C)
             f00 = table[r0 * Wf + c0]
             f10 = table[r1 * Wf + c0]
             f01 = table[r0 * Wf + c1]
             f11 = table[r1 * Wf + c1]
+        outs[li] = bilerp(f00, f10, f01, f11, fr, fc)
 
-        if swapped_weights:
-            # reference Pipe.py:72-75 exact weights
-            out = (f00 * fr * fc + f10 * (1 - fr) * fc
-                   + f01 * fr * (1 - fc) + f11 * (1 - fr) * (1 - fc))
-        else:
-            out = (f00 * (1 - fr) * (1 - fc) + f10 * fr * (1 - fc)
-                   + f01 * (1 - fr) * fc + f11 * fr * fc)
-        outs.append(out)
+    if fuse_from is not None:
+        # Combined coarse-level table, indexed by the level-`fuse_from`
+        # cell.  For level l > fuse_from the 2x2 patch of the point's
+        # cell equals the patch of its level-1 ancestor cell (the floor
+        # identity ``floor(x/m - eps) == floor(floor(x - eps)/m)`` holds
+        # everywhere except an O(eps)-wide sliver below each cell
+        # boundary; recomputing the fractional weights against the
+        # ancestor-derived tap base makes any sliver mismatch contribute
+        # only O(eps) tap weight — below bf16 resolution), so upsampling
+        # patch tables by 2^(l-1) and concatenating gives one wide-row
+        # table serving all coarse levels in a single gather.
+        H1, W1, _ = features[fuse_from].shape
+        blocks = []
+        for l in range(fuse_from, len(features)):
+            p = _patch_table(features[l])
+            scale = 2 ** (l - fuse_from)
+            if scale > 1:
+                p = jnp.repeat(jnp.repeat(p, scale, axis=0), scale, axis=1)
+            blocks.append(p)
+        combined = jnp.concatenate(blocks, axis=-1)
+        combined = combined.reshape(H1 * W1, combined.shape[-1])
+        r0b, c0b = cells[fuse_from][2], cells[fuse_from][3]
+        rows = combined[r0b * W1 + c0b]
+        off = 0
+        for l in range(fuse_from, len(features)):
+            C = features[l].shape[-1]
+            f00 = rows[:, off + 0 * C:off + 1 * C]
+            f10 = rows[:, off + 1 * C:off + 2 * C]
+            f01 = rows[:, off + 2 * C:off + 3 * C]
+            f11 = rows[:, off + 3 * C:off + 4 * C]
+            r, c = cells[l][0], cells[l][1]
+            scale = 2 ** (l - fuse_from)
+            r0f = r0b // scale
+            c0f = c0b // scale
+            fr = (r - r0f.astype(r.dtype))[:, None].astype(features[l].dtype)
+            fc = (c - c0f.astype(c.dtype))[:, None].astype(features[l].dtype)
+            outs[l] = bilerp(f00, f10, f01, f11, fr, fc)
+            off += 4 * C
 
     gathered = jnp.concatenate(outs, axis=-1)
     gathered = jnp.where(ok[:, None], gathered, 0.0)

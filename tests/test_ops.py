@@ -176,6 +176,72 @@ def test_gather_matches_numpy(rng):
             np.testing.assert_allclose(out[i], exp, rtol=1e-4, atol=1e-5)
 
 
+def test_gather_fused_coarse_matches_unfused(rng):
+    """xla_fused mode (one wide-row gather for the coarse levels) must
+    reproduce the per-level gather: exactly on generic points, and to
+    O(eps) tap weight on boundary-sliver points."""
+    im_h, im_w = 370, 1224
+    # exactly-halving pyramid, like the real (104,336)/(52,168)/(26,84)
+    feats = [rng.normal(size=(40, 128, 4)).astype(np.float32),
+             rng.normal(size=(20, 64, 4)).astype(np.float32),
+             rng.normal(size=(10, 32, 4)).astype(np.float32)]
+    N = 200
+    rc = np.stack([rng.uniform(0, im_h - 1, N),
+                   rng.uniform(0, im_w - 1, N)], axis=1).astype(np.float32)
+    # adversarial rows: coordinates landing exactly on (and a hair around)
+    # coarse-level cell boundaries, where the ancestor-derived floor can
+    # differ from the direct floor inside an O(eps) sliver
+    ry2 = im_h / feats[2].shape[0]
+    rx2 = im_w / feats[2].shape[1]
+    adv = []
+    for k in range(1, 8):
+        for d in (-2e-6, -1e-6, 0.0, 5e-7, 1e-6, 1.5e-6, 2e-6, 1e-3):
+            adv.append([k * ry2 + d * ry2, k * rx2 + d * rx2])
+    adv = np.array(adv, dtype=np.float32)
+    rc = np.concatenate([rc, adv], axis=0)
+    valid = np.ones(len(rc), dtype=bool)
+    base = np.asarray(bilinear_gather_fpn(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rc),
+        jnp.asarray(valid), (im_h, im_w), fused_coarse=False))
+    fused = np.asarray(bilinear_gather_fpn(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rc),
+        jnp.asarray(valid), (im_h, im_w), fused_coarse=True))
+    # generic points: bitwise-equal taps, identical arithmetic order
+    np.testing.assert_allclose(fused[:N], base[:N], rtol=0, atol=1e-6)
+    # sliver points: tap bases may differ by one cell but the mismatched
+    # tap carries O(eps) weight (textbook weights vanish there)
+    np.testing.assert_allclose(fused[N:], base[N:], rtol=0, atol=1e-4)
+    # the swapped-weight variant is discontinuous at cell boundaries, so
+    # fused_coarse must fall back to the per-level gather (bit-exact)
+    base_sw = np.asarray(bilinear_gather_fpn(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rc),
+        jnp.asarray(valid), (im_h, im_w), swapped_weights=True,
+        fused_coarse=False))
+    fused_sw = np.asarray(bilinear_gather_fpn(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rc),
+        jnp.asarray(valid), (im_h, im_w), swapped_weights=True,
+        fused_coarse=True))
+    np.testing.assert_array_equal(fused_sw, base_sw)
+
+
+def test_gather_fused_coarse_skips_non_halving(rng):
+    """Non-halving pyramids silently fall back to the per-level path."""
+    im_h, im_w = 370, 1224
+    feats = [rng.normal(size=(40, 128, 4)).astype(np.float32),
+             rng.normal(size=(21, 64, 4)).astype(np.float32),
+             rng.normal(size=(10, 32, 4)).astype(np.float32)]
+    rc = np.stack([rng.uniform(0, im_h - 1, 16),
+                   rng.uniform(0, im_w - 1, 16)], axis=1).astype(np.float32)
+    valid = np.ones(16, dtype=bool)
+    base = np.asarray(bilinear_gather_fpn(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rc),
+        jnp.asarray(valid), (im_h, im_w), fused_coarse=False))
+    fused = np.asarray(bilinear_gather_fpn(
+        [jnp.asarray(f) for f in feats], jnp.asarray(rc),
+        jnp.asarray(valid), (im_h, im_w), fused_coarse=True))
+    np.testing.assert_array_equal(fused, base)
+
+
 def test_gather_batch_shape(rng):
     feat = [jnp.asarray(rng.normal(size=(93, 306, 4)).astype(np.float32))]
     rc = jnp.asarray(rng.uniform(0, 300, (10, 35, 2)).astype(np.float32))
