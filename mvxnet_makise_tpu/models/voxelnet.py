@@ -395,12 +395,18 @@ class ColumnConv1ReluNorm(nn.Module):
     #                                (B, d, nx, ny, C): the merge kernel
     #                                packs d-minor, so this skips a
     #                                1.4 GB/batch-8 relayout
+    # tap-matmul form: "folded" = one depth-unrolled matmul emitting the
+    # merge layout directly (3.3x FLOPs, zero relayouts — measured
+    # faster, docs/DESIGN.md); "im2col" = minimal-FLOPs form (kept as
+    # the oracle; pays an f32 materialize + cast + (d, 9) transpose)
+    taps_form: str = "auto"        # "auto" | "folded" | "im2col"
 
     @nn.compact
     def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
                  vmask: jnp.ndarray) -> jnp.ndarray:
         from mvxnet_makise_tpu.ops.column_conv import (
-            column_conv1_d2, column_taps_matmul, compact_columns)
+            column_conv1_d2, column_taps_matmul,
+            column_taps_matmul_folded, compact_columns)
         from mvxnet_makise_tpu.ops.pallas_column_merge import (
             column_bounds, merge_taps_fused)
 
@@ -417,14 +423,24 @@ class ColumnConv1ReluNorm(nn.Module):
             # the voxelizer emits voxels ascending in the linear cell id
             # with dead slots trailing (ops/voxelize.py), so the
             # compaction's internal sort is skippable
+            taps_form = self.taps_form
+            if taps_form == "auto":
+                taps_form = "folded"
+
             def prep(f, c, m):
                 cols, col_xy, col_mask = compact_columns(
                     f, c, m, self.grid_shape, assume_sorted=True)
-                y = column_taps_matmul(cols, kernel)   # (V, d, 9, Co)
-                # drop to the compute dtype BEFORE the (d, 9) transpose:
-                # halves the relayout traffic of the biggest interm.
-                return (jnp.transpose(y.astype(f.dtype), (0, 2, 1, 3)),
-                        col_xy[:, 1], column_bounds(col_xy, col_mask, nx))
+                if taps_form == "folded":
+                    # one depth-unrolled matmul, already (V, 9, d*Co)
+                    y = column_taps_matmul_folded(cols, kernel,
+                                                  out_dtype=f.dtype)
+                else:
+                    y = column_taps_matmul(cols, kernel)  # (V, d, 9, Co)
+                    # drop to the compute dtype BEFORE the (d, 9)
+                    # transpose: halves the biggest relayout
+                    y = jnp.transpose(y.astype(f.dtype), (0, 2, 1, 3))
+                return (y, col_xy[:, 1],
+                        column_bounds(col_xy, col_mask, nx))
 
             y, cy, bounds = jax.vmap(prep)(vfeat, coords, vmask)
             B, V = y.shape[:2]

@@ -147,6 +147,55 @@ def column_taps_matmul(cols: jnp.ndarray,
     return y.reshape(C_cap, d_out, 9, Cout)
 
 
+def fold_conv1_kernel_zmajor(kernel: jnp.ndarray,
+                             nz: int) -> jnp.ndarray:
+    """(3, 3, 3, Cin, Cout) DHWIO -> (nz*Cin, 9*d_out*Cout), the
+    *depth-unrolled* folded kernel.
+
+    Row (z, ci) / column ((kh*3+kw)*d_out + d, co) holds
+    ``kernel[z - 2d + 1, kh, kw, ci, co]`` when ``0 <= z - 2d + 1 < 3``
+    and zero otherwise — i.e. conv1's depth taps for EVERY output depth
+    are unrolled into the contraction, so ``cols.reshape(V, nz*Cin) @
+    K'`` emits all taps and all depths at once, already in the
+    tap-major / d-major-lane layout the Pallas merge kernel consumes
+    (no im2col intermediate, no f32 materialization, no transpose).
+    ~3.3x the FLOPs of the im2col form (the zeros are multiplied), but
+    the contraction K-dim (nz*Cin = 1280) runs the MXU at high
+    efficiency and the relayout traffic vanishes — measured faster at
+    KITTI shapes (docs/DESIGN.md)."""
+    kd_, kh_, kw_, cin, cout = kernel.shape
+    d_out = (nz + 2 - 3) // 2 + 1
+    kf = jnp.zeros((nz, cin, 9 * d_out, cout), kernel.dtype)
+    for d in range(d_out):
+        for kd in range(kd_):
+            z = 2 * d - 1 + kd
+            if 0 <= z < nz:
+                # columns for (tap t, depth d) live at t*d_out + d
+                kf = kf.at[z, :, d::d_out, :].set(
+                    jnp.transpose(kernel[kd], (2, 0, 1, 3))
+                    .reshape(cin, 9, cout))
+    return kf.reshape(nz * cin, 9 * d_out * cout)
+
+
+def column_taps_matmul_folded(cols: jnp.ndarray,
+                              kernel: jnp.ndarray,
+                              out_dtype=None) -> jnp.ndarray:
+    """One depth-unrolled MXU matmul: (C_cap, nz, Cin) x DHWIO kernel
+    -> (C_cap, 9, d_out*Cout) per-tap rows (d-major lanes), accumulated
+    in f32 and emitted in ``out_dtype`` (default: cols.dtype).  Exactly
+    ``transpose(column_taps_matmul(cols, kernel), (0, 2, 1, 3))`` up to
+    f32 summation order (tests/test_column_cml.py)."""
+    C_cap, nz, Cin = cols.shape
+    d_out = (nz + 2 - 3) // 2 + 1
+    Cout = kernel.shape[-1]
+    acc = jnp.promote_types(cols.dtype, jnp.float32)
+    kf = fold_conv1_kernel_zmajor(kernel, nz).astype(cols.dtype)
+    y = jnp.dot(cols.reshape(C_cap, nz * Cin), kf,
+                preferred_element_type=acc)
+    y = y.astype(out_dtype if out_dtype is not None else cols.dtype)
+    return y.reshape(C_cap, 9, d_out * Cout)
+
+
 def column_conv1_d2(cols: jnp.ndarray,
                     col_xy: jnp.ndarray,
                     col_mask: jnp.ndarray,

@@ -120,9 +120,11 @@ crn = ConvReluNorm(64, (3, 3, 3), (2, 1, 1), ((1, 1), (1, 1), (1, 1)),
 c1p = {"params": cml_params["params"]["conv1"]}
 timeit("dense conv1(+relu+norm) only", lambda d: crn.apply(c1p, d), dense)
 
-col1 = ColumnConv1ReluNorm(64, 128, GRID, 1e-6, name="conv1")
-timeit("column conv1(+relu+norm) only",
-       lambda v: col1.apply(c1p, v, coords, vmask), vfeat)
+for form in ("im2col", "folded"):
+    col1 = ColumnConv1ReluNorm(64, 128, GRID, 1e-6, taps_form=form,
+                               name="conv1")
+    timeit(f"column conv1(+relu+norm) only [{form}]",
+           lambda v, c1=col1: c1.apply(c1p, v, coords, vmask), vfeat)
 
 cml_d = MiddleConvLayers(name="cml")
 timeit("full cml dense (from dense grid)",

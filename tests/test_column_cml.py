@@ -108,6 +108,26 @@ def test_column_conv1_matches_dense_conv():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_folded_taps_matmul_matches_im2col():
+    """The depth-unrolled folded matmul (one dot, merge-ready layout)
+    must equal the im2col tap matmul up to f32 summation order — the
+    unrolled kernel's zero entries contribute exactly zero."""
+    from mvxnet_makise_tpu.ops.column_conv import (
+        column_taps_matmul, column_taps_matmul_folded)
+
+    rng = np.random.default_rng(11)
+    nz, Cin, Cout = GRID[2], 8, 12
+    cols = jnp.asarray(rng.normal(size=(40, nz, Cin)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, Cin, Cout)) * 0.1,
+                         jnp.float32)
+    ref = column_taps_matmul(cols, kernel)           # (V, d, 9, Co)
+    d_out = ref.shape[1]
+    ref = jnp.transpose(ref, (0, 2, 1, 3)).reshape(40, 9, d_out * Cout)
+    got = column_taps_matmul_folded(cols, kernel, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_column_cml_matches_dense3d():
     # sort=True: the module path sets assume_sorted (voxelizer invariant)
     feats, coords, mask = _scene(3, C=16, sort=True)
