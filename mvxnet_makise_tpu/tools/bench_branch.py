@@ -130,6 +130,32 @@ cml_d = MiddleConvLayers(name="cml")
 timeit("full cml dense (from dense grid)",
        lambda d: cml_d.apply(cml_params, d), dense)
 
+# conv2/conv3 in the d-minor layout the column path uses, isolated
+from mvxnet_makise_tpu.models.voxelnet import RPN, ConvReluNormDLast
+
+col1 = ColumnConv1ReluNorm(64, 128, GRID, 1e-6, d_last=True, name="conv1")
+x1 = jax.jit(lambda v: col1.apply(c1p, v, coords, vmask))(vfeat)
+x1 = jax.block_until_ready(x1)   # (B, H, W, 5, 64)
+
+c2 = ConvReluNormDLast(64, (1, 1, 1), ((0, 0), (1, 1), (1, 1)),
+                       name="conv2")
+c2p = {"params": cml_params["params"]["conv2"]}
+timeit("conv2 d-minor only", lambda a: c2.apply(c2p, a), x1)
+x2 = jax.block_until_ready(jax.jit(lambda a: c2.apply(c2p, a))(x1))
+
+c3 = ConvReluNormDLast(64, (2, 1, 1), ((1, 1), (1, 1), (1, 1)),
+                       name="conv3")
+c3p = {"params": cml_params["params"]["conv3"]}
+timeit("conv3 d-minor only", lambda a: c3.apply(c3p, a), x2)
+x3 = jax.block_until_ready(jax.jit(lambda a: c3.apply(c3p, a))(x2))
+
+rpn = RPN(name="rpn")
+rpnp = {"params": vbp["params"]["rpn"]}
+xr = jnp.transpose(x3, (0, 1, 2, 4, 3)).reshape(
+    x3.shape[0], x3.shape[1], x3.shape[2], -1)
+xr = jax.block_until_ready(xr)
+timeit("rpn only", lambda a: rpn.apply(rpnp, a)[0], xr)
+
 cml_c = MiddleConvLayersColumn(1e-6, GRID, name="cml")
 timeit("full cml column (from vfeat)",
        lambda v: cml_c.apply(cml_params, v, coords, vmask), vfeat)
