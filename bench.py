@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--max-points", type=int, default=0,
                     help="override Config.max_points (capacity sizing "
                          "A/B; 0 = keep the default)")
+    ap.add_argument("--norm-scope", default="",
+                    help="override Config.norm_scope ('sample' | "
+                         "'batch') to A/B the per-sample vmap wrapper")
     ap.add_argument("--max-seconds", type=int, default=1500,
                     help="watchdog: emit an error JSON instead of hanging "
                          "forever if the device link wedges")
@@ -74,7 +77,9 @@ def main():
 
     cfg = Config(use_bf16=True, batch_size=args.batch,
                  **({"max_points": args.max_points}
-                    if args.max_points else {}))
+                    if args.max_points else {}),
+                 **({"norm_scope": args.norm_scope}
+                    if args.norm_scope else {}))
     rng = np.random.default_rng(0)
 
     # host-side: synthesize + pad a batch of KITTI-like frames

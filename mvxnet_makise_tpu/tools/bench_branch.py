@@ -86,33 +86,44 @@ class SVFEOnly(VoxelNetBranchPM):
 svfe = SVFEOnly(grid_shape=GRID, samples_per_voxel=T)
 
 
+def _sync(out):
+    """Real execution barrier: block_until_ready is not reliable on
+    relayed/remote backends (see bench.py), so read a reduced scalar."""
+    leaf = jax.tree.leaves(out)[0]
+    corner = leaf[(slice(0, 1),) * leaf.ndim]
+    return float(jnp.sum(corner.astype(jnp.float32)))
+
+
 def timeit(name, fn, *args):
     f = jax.jit(fn)
     out = f(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     N = 10
     for _ in range(N):
         out = f(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / N
-    print(f"{name:40s} {dt*1e3:8.2f} ms/batch", flush=True)
+    print(f"{name:44s} {dt*1e3:8.2f} ms/batch", flush=True)
+    return out
 
 
 args8 = (x23, batch.sorted_kept, batch.sorted_seg, batch.counts,
          batch.coords, batch.vmask, z0)
 
-timeit("svfe->vfeat", lambda: svfe.apply(vbp, *args8))
+timeit("svfe->vfeat", lambda *a: svfe.apply(vbp, *a), *args8)
 
-vfeat = jax.jit(lambda: svfe.apply(vbp, *args8))()
+vfeat = jax.jit(lambda *a: svfe.apply(vbp, *a))(*args8)
 vfeat = jax.block_until_ready(vfeat)
 coords, vmask = batch.coords, batch.vmask
 
-timeit("scatter only", lambda: jax.vmap(
-    lambda f, c, m: _scatter(f, c, m, GRID, "auto"))(vfeat, coords, vmask))
+timeit("scatter only", lambda f, c, m: jax.vmap(
+    lambda f, c, m: _scatter(f, c, m, GRID, "auto"))(f, c, m),
+       vfeat, coords, vmask)
 
-dense = jax.jit(lambda: jax.vmap(
-    lambda f, c, m: _scatter(f, c, m, GRID, "auto"))(vfeat, coords, vmask))()
+dense = jax.jit(lambda f, c, m: jax.vmap(
+    lambda f, c, m: _scatter(f, c, m, GRID, "auto"))(f, c, m))(
+    vfeat, coords, vmask)
 dense = jax.block_until_ready(dense)
 
 crn = ConvReluNorm(64, (3, 3, 3), (2, 1, 1), ((1, 1), (1, 1), (1, 1)),
@@ -124,7 +135,8 @@ for form in ("im2col", "folded"):
     col1 = ColumnConv1ReluNorm(64, 128, GRID, 1e-6, taps_form=form,
                                name="conv1")
     timeit(f"column conv1(+relu+norm) only [{form}]",
-           lambda v, c1=col1: c1.apply(c1p, v, coords, vmask), vfeat)
+           lambda v, c, m, c1=col1: c1.apply(c1p, v, c, m),
+           vfeat, coords, vmask)
 
 cml_d = MiddleConvLayers(name="cml")
 timeit("full cml dense (from dense grid)",
@@ -134,7 +146,8 @@ timeit("full cml dense (from dense grid)",
 from mvxnet_makise_tpu.models.voxelnet import RPN, ConvReluNormDLast
 
 col1 = ColumnConv1ReluNorm(64, 128, GRID, 1e-6, d_last=True, name="conv1")
-x1 = jax.jit(lambda v: col1.apply(c1p, v, coords, vmask))(vfeat)
+x1 = jax.jit(lambda v, c, m: col1.apply(c1p, v, c, m))(
+    vfeat, coords, vmask)
 x1 = jax.block_until_ready(x1)   # (B, H, W, 5, 64)
 
 c2 = ConvReluNormDLast(64, (1, 1, 1), ((0, 0), (1, 1), (1, 1)),
@@ -158,12 +171,13 @@ timeit("rpn only", lambda a: rpn.apply(rpnp, a)[0], xr)
 
 cml_c = MiddleConvLayersColumn(1e-6, GRID, name="cml")
 timeit("full cml column (from vfeat)",
-       lambda v: cml_c.apply(cml_params, v, coords, vmask), vfeat)
+       lambda v, c, m: cml_c.apply(cml_params, v, c, m),
+       vfeat, coords, vmask)
 
 vb_d = VoxelNetBranchPM(grid_shape=GRID, samples_per_voxel=T,
                         cml_mode="dense3d")
-timeit("full branch dense3d", lambda: vb_d.apply(vbp, *args8)[0])
+timeit("full branch dense3d", lambda *a: vb_d.apply(vbp, *a)[0], *args8)
 
 vb_c = VoxelNetBranchPM(grid_shape=GRID, samples_per_voxel=T,
                         cml_mode="column")
-timeit("full branch column", lambda: vb_c.apply(vbp, *args8)[0])
+timeit("full branch column", lambda *a: vb_c.apply(vbp, *a)[0], *args8)

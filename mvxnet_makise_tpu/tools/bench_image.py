@@ -61,15 +61,24 @@ rp = {"params": hp["params"]["extractor"]}
 fp = {"params": hp["params"]["fusion"]}
 
 
+def _sync(out):
+    """Real execution barrier: block_until_ready is not reliable on
+    relayed/remote backends (see bench.py), so read a reduced scalar."""
+    import jax as _jax
+    leaf = _jax.tree.leaves(out)[0]
+    corner = leaf[(slice(0, 1),) * leaf.ndim]
+    return float(jnp.sum(corner.astype(jnp.float32)))
+
+
 def timeit(name, fn, *args):
     f = jax.jit(fn)
     out = f(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     N = 10
     for _ in range(N):
         out = f(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / N
     print(f"{name:40s} {dt*1e3:8.2f} ms/batch", flush=True)
 

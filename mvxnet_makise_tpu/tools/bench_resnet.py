@@ -94,17 +94,26 @@ x0 = jax.jit(jax.vmap(detection_transform))(images)
 x0 = jax.block_until_ready(x0.astype(jnp.bfloat16))
 print("params ready", flush=True)
 
+def _sync(out):
+    """Real execution barrier: block_until_ready is not reliable on
+    relayed/remote backends (see bench.py), so read a reduced scalar."""
+    leaf = jax.tree.leaves(out)[0]
+    corner = leaf[(slice(0, 1),) * leaf.ndim]
+    return float(jnp.sum(corner.astype(jnp.float32)))
+
+
 prev = 0.0
 for upto in ("stem", "layer1", "layer2", "layer3", "layer4",
              "merge", "fpn0", "fpn"):
     m = Probe(upto=upto)
     f = jax.jit(lambda x, m=m: m.apply(params, x))
-    out = jax.block_until_ready(f(x0))
+    out = f(x0)
+    _sync(out)
     t0 = time.perf_counter()
     N = 10
     for _ in range(N):
         out = f(x0)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / N * 1e3
     print(f"upto {upto:8s} {dt:8.2f} ms/batch  (+{dt - prev:6.2f})",
           flush=True)
