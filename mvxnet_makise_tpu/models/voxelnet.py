@@ -158,6 +158,59 @@ class ConvReluNormDLast(nn.Module):
         return standardize(y, self.eps)
 
 
+class ConvReluNormBanded(nn.Module):
+    """ConvReluNorm for depth-minor inputs via ONE (D, C)-folded 2D conv.
+
+    Views (B, H, W, D, C) as (B, H, W, D*C) and runs a single NHWC
+    convolution against a block-banded (3, 3, D*C, D_out*C) kernel whose
+    (d_in, d_out) block is the 3D kernel's depth tap ``kd = d_in -
+    d_out*stride_d + pad_d`` (zero outside the band).  Identical math and
+    parameter tree to ``ConvReluNorm(features, (3, 3, 3), ...)`` — only
+    the compute form differs.
+
+    TPU motivation: XLA's NHWDC 3D conv at these shapes runs ~40 TFLOP/s
+    (the 64-wide output channel dim strands MXU lanes and the depth
+    window sits awkwardly in the minor dims).  The folded form computes
+    D/3-ish extra zero-block FLOPs but feeds the MXU a 128+-lane output
+    (D_out*C) and a plain 2D window; measured at CML shapes (batch 8,
+    352x400, bf16): conv2 18.6 -> 15.9 ms, conv3 12.9 -> ~6.4 ms.  The
+    banded kernel build is 3*3*D*C*D_out*C elements — negligible VPU
+    work per step.
+    """
+    features: int
+    strides: Tuple[int, int, int]
+    padding: Tuple[Tuple[int, int], ...]
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, H, W, D, C)
+        B, H, W, D, C = x.shape
+        kernel, bias = _Conv3DParams(self.features, C, name="conv")()
+        sd, sh, sw = self.strides
+        (pd0, pd1), ph, pw = self.padding
+        d_out = (D + pd0 + pd1 - 3) // sd + 1
+        O = self.features
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+
+        kb = jnp.zeros((3, 3, D * C, d_out * O), dt)
+        k = kernel.astype(dt)
+        for do in range(d_out):
+            for kd in range(3):
+                din = do * sd + kd - pd0
+                if 0 <= din < D:
+                    kb = kb.at[:, :, din * C:(din + 1) * C,
+                               do * O:(do + 1) * O].set(k[kd])
+
+        y = jax.lax.conv_general_dilated(
+            x.reshape(B, H, W, D * C).astype(dt), kb,
+            window_strides=(sh, sw), padding=(tuple(ph), tuple(pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.relu(y.reshape(B, y.shape[1], y.shape[2], d_out, O)
+                    + bias.astype(dt))
+        return standardize(y, self.eps)
+
+
 class Conv3DShiftedReluNorm(nn.Module):
     """3D conv computed as THREE shifted 2D convs accumulated.
 
@@ -494,19 +547,25 @@ class MiddleConvLayersColumn(nn.Module):
     pipeline at VoxelNet.py:16-22 / Pipe.py:33."""
     eps: float = 1e-6
     grid_shape: Sequence[int] = (352, 400, 10)
+    # conv2/conv3 compute form: "banded" = one (D, C)-folded 2D conv
+    # (ConvReluNormBanded, measured faster); "dlast" = NHWDC 3D conv
+    # (ConvReluNormDLast, the oracle)
+    conv23_form: str = "banded"
 
     @nn.compact
     def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
                  vmask: jnp.ndarray) -> jnp.ndarray:
+        conv = (ConvReluNormBanded if self.conv23_form == "banded"
+                else ConvReluNormDLast)
         x = ColumnConv1ReluNorm(
             64, vfeat.shape[-1], tuple(self.grid_shape), self.eps,
             d_last=True, name="conv1")(vfeat, coords, vmask)  # (B,H,W,5,64)
-        x = ConvReluNormDLast(64, (1, 1, 1),
-                              ((0, 0), (1, 1), (1, 1)), self.eps,
-                              name="conv2")(x)               # D 5->3
-        x = ConvReluNormDLast(64, (2, 1, 1),
-                              ((1, 1), (1, 1), (1, 1)), self.eps,
-                              name="conv3")(x)               # D 3->2
+        x = conv(64, (1, 1, 1),
+                 ((0, 0), (1, 1), (1, 1)), self.eps,
+                 name="conv2")(x)                            # D 5->3
+        x = conv(64, (2, 1, 1),
+                 ((1, 1), (1, 1), (1, 1)), self.eps,
+                 name="conv3")(x)                            # D 3->2
         return x
 
 

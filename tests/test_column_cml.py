@@ -128,6 +128,29 @@ def test_folded_taps_matmul_matches_im2col():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_banded_conv_matches_dlast():
+    """ConvReluNormBanded ((D, C)-folded 2D conv) == ConvReluNormDLast
+    (NHWDC 3D conv) for the CML conv2 and conv3 geometries — same
+    parameter tree, same math; only zero-block FLOPs differ."""
+    from mvxnet_makise_tpu.models.voxelnet import (
+        ConvReluNormBanded, ConvReluNormDLast)
+
+    rng = np.random.default_rng(5)
+    for D, strides, padding in [
+        (5, (1, 1, 1), ((0, 0), (1, 1), (1, 1))),   # conv2: D 5->3
+        (3, (2, 1, 1), ((1, 1), (1, 1), (1, 1))),   # conv3: D 3->2
+        (4, (2, 1, 1), ((1, 0), (1, 1), (1, 1))),   # asymmetric depth pad
+    ]:
+        x = jnp.asarray(rng.normal(size=(2, 9, 11, D, 16)), jnp.float32)
+        ref_mod = ConvReluNormDLast(12, strides, padding)
+        params = ref_mod.init(jax.random.key(1), x)
+        ref = ref_mod.apply(params, x)
+        got = ConvReluNormBanded(12, strides, padding).apply(params, x)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_column_cml_matches_dense3d():
     # sort=True: the module path sets assume_sorted (voxelizer invariant)
     feats, coords, mask = _scene(3, C=16, sort=True)
