@@ -96,25 +96,27 @@ def main():
 
     from mvxnet_makise_tpu.train.step import _model_inputs
 
-    def infer(params, points, num_points, images):
+    # params are jit constants, matching the serving path (serve.py
+    # _pipeline): inference weights are frozen, so per-call pytree-arg
+    # marshaling is pure dispatch overhead
+    cparams0 = cast_for_compute(init_params, cfg.use_bf16)
+
+    def infer(points, num_points, images):
         batch = frames_to_batch(points, num_points, images,
                                 jnp.zeros((args.batch, 1, 7)),
                                 jnp.zeros((args.batch, 1), bool), cfg)
         from mvxnet_makise_tpu.train.state import make_apply
-
-        cparams = cast_for_compute(params, cfg.use_bf16)
         from mvxnet_makise_tpu.train.step import (
             cast_batch_for_compute)
 
         cbatch = cast_batch_for_compute(batch, cfg.use_bf16)
         score, reg = make_apply(model, cfg)(
-            cparams, *_model_inputs(cbatch, with_images))
+            cparams0, *_model_inputs(cbatch, with_images))
         return score.astype(jnp.float32), reg.astype(jnp.float32)
 
     points = jnp.asarray(fb.points)
     num_points = jnp.asarray(fb.num_points)
     images = jnp.asarray(fb.image)
-    params = init_params
 
     if args.train:
         from mvxnet_makise_tpu.ops import create_anchors
@@ -125,7 +127,7 @@ def main():
                                  cfg.anchor_sizes)
         from mvxnet_makise_tpu.train.state import make_apply
 
-        tstate = TrainState.create(make_apply(model, cfg), params,
+        tstate = TrainState.create(make_apply(model, cfg), init_params,
                                    make_optimizer(cfg))
         tstep = make_full_train_step(cfg, anchors, with_images)
         gts = jnp.asarray(fb.gt_boxes)
@@ -164,12 +166,12 @@ def main():
         return float(jnp.sum(o[0][:, 0, 0, 0]))
 
     for _ in range(args.warmup):
-        out = step(params, points, num_points, images)
+        out = step(points, num_points, images)
         sync(out)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = step(params, points, num_points, images)
+        out = step(points, num_points, images)
     checksum = sync(out)
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum), "non-finite benchmark output"

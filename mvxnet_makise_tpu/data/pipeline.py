@@ -37,7 +37,14 @@ def preprocess_frame(points: np.ndarray,
                      cfg: Config) -> FrameArrays:
     """points: (N, 4) [x y z refl] already range/frustum cropped;
     image: (H, W, 3) uint8 or float; gt_boxes: (G, 7) xyzlwhr or None."""
-    n = min(len(points), cfg.max_points)
+    if len(points) > cfg.max_points:
+        # deterministic, spatially unbiased subsample for over-capacity
+        # frames (the train path shuffles-then-truncates instead;
+        # loop.py:73-76) — raw scan order is azimuth-sorted, so a
+        # strided pick keeps uniform angular coverage
+        sel = np.linspace(0, len(points) - 1, cfg.max_points).astype(np.int64)
+        points = points[sel]
+    n = len(points)
     pts = np.zeros((cfg.max_points, 6), dtype=np.float32)
     pts[:n, :4] = points[:n, :4]
     # append image-plane (row, col) — the reference swaps (u, v) -> (v, u)
