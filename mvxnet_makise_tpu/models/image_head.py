@@ -104,15 +104,21 @@ class PointImageFusion(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
-                 n_virtual: jnp.ndarray):
+                 n_virtual: jnp.ndarray, fcn1_pre_fn=None):
         """x: (..., P, 768); mask: (..., P); n_virtual: () count of empty
         sample slots.  Returns ((..., P, 16) point features,
-        (16,) empty-slot feature)."""
+        (16,) empty-slot feature).
+
+        ``fcn1_pre_fn`` (see DenseReluNormVirtual.pre_fn) lets the caller
+        compute fcn1's pre-activation itself — the projected-gather path;
+        ``x`` is then only a shape/dtype placeholder and is never read
+        (XLA dead-code-eliminates it)."""
         z = jnp.zeros((x.shape[-1],), x.dtype)
         for name, width in [("fcn1", 768), ("conv1", 128),
                             ("fcn2", 128), ("conv2", 16), ("fcn3", 16)]:
             x, z = DenseReluNormVirtual(width, self.eps, name=name)(
-                x, mask, z, n_virtual)
+                x, mask, z, n_virtual,
+                pre_fn=fcn1_pre_fn if name == "fcn1" else None)
         return x, z
 
 
@@ -138,7 +144,8 @@ class PointImageHead(nn.Module):
     image_size: Tuple[int, int] = (370, 1224)
     eps: float = 1e-6
     swapped_bilerp: bool = False
-    gather_backend: str = "auto"   # "auto" | "xla" | "pallas"
+    # "auto" | "xla" | "xla_fused" | "pallas" | "projected"
+    gather_backend: str = "auto"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, points_rc: jnp.ndarray,
@@ -161,6 +168,14 @@ class PointImageHead(nn.Module):
 
         x = jax.vmap(detection_transform)(images)
         pyramid = ResNet50FPN(name="extractor")(x)
+        # The extractor is frozen (reference Head.py:9-11; the optimizer
+        # routes its params to set_to_zero — train/state.py).  Cut the
+        # backward graph here explicitly so the ResNet50-FPN backward
+        # (~2x its 105 GFLOP/frame forward) is never traced into the
+        # train step — XLA usually DCEs it because the frozen updates
+        # are zeros_like, but stop_gradient guarantees it across
+        # remat/scan boundaries.
+        pyramid = jax.tree_util.tree_map(jax.lax.stop_gradient, pyramid)
 
         if backend == "pallas":
             from mvxnet_makise_tpu.ops.pallas_gather import (
@@ -173,6 +188,48 @@ class PointImageHead(nn.Module):
             fused, z = PointImageFusion(self.eps, name="fusion")(
                 gathered, padmask, n_virtual)
             return jnp.take_along_axis(fused, pos[..., None], axis=1), z
+
+        if backend == "projected":
+            # Fold fcn1 (Dense 768 -> 128) into the pyramid BEFORE the
+            # gather: linearity of bilinear interpolation makes
+            # ``W^T concat_l(bilerp_l(f)) == sum_l bilerp_l(f @ W_l)``
+            # exact, so each gathered row shrinks 256 -> 128 channels
+            # (ops/gather.projected_bilinear_gather_fpn).  Measured at
+            # KITTI shapes (tools/bench_image.py, relayed v5e): 95.6 ms
+            # vs 53.3 for the plain xla head — the halved row payload
+            # does not survive the restructured evaluation order, so
+            # auto stays "xla"; kept selectable with exact-math tests
+            # (tests/test_projected_gather.py).
+            from mvxnet_makise_tpu.ops.gather import (
+                projected_bilinear_gather_fpn)
+
+            dt = pyramid[0].dtype
+            sizes = [f.shape[-1] for f in pyramid]
+            offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
+            total = offs[-1]
+
+            def fcn1_pre(d):
+                # bias-free per-level projections: recover fcn1's kernel
+                # as d(I) - bias (a one-off 768x768 @ 768xK matmul) and
+                # apply each level's 256-row slice directly — this avoids
+                # materializing 768-channel zero-padded copies of every
+                # pyramid level (which overflowed HBM at KITTI shapes).
+                # Bias is stripped so invalid points can be zeroed
+                # exactly (d(0) == bias, matching zeroed gathered rows).
+                bias = d(jnp.zeros((total,), dt))
+                kernel = d(jnp.eye(total, dtype=dt)) - bias
+                proj = tuple(f @ kernel[offs[l]:offs[l + 1]]
+                             for l, f in enumerate(pyramid))
+                s = jax.vmap(
+                    lambda fs, rc, okm: projected_bilinear_gather_fpn(
+                        fs, rc, okm, self.image_size, eps=self.eps,
+                        swapped_weights=self.swapped_bilerp)
+                )(proj, points_rc, point_mask)
+                return s + bias
+
+            placeholder = jnp.zeros(point_mask.shape + (total,), dt)
+            return PointImageFusion(self.eps, name="fusion")(
+                placeholder, point_mask, n_virtual, fcn1_pre_fn=fcn1_pre)
 
         gathered = jax.vmap(
             lambda feats, rc, ok: bilinear_gather_fpn(
@@ -202,6 +259,14 @@ class ImageHead(nn.Module):
 
         x = jax.vmap(detection_transform)(images)
         pyramid = ResNet50FPN(name="extractor")(x)
+        # The extractor is frozen (reference Head.py:9-11; the optimizer
+        # routes its params to set_to_zero — train/state.py).  Cut the
+        # backward graph here explicitly so the ResNet50-FPN backward
+        # (~2x its 105 GFLOP/frame forward) is never traced into the
+        # train step — XLA usually DCEs it because the frozen updates
+        # are zeros_like, but stop_gradient guarantees it across
+        # remat/scan boundaries.
+        pyramid = jax.tree_util.tree_map(jax.lax.stop_gradient, pyramid)
         # region sizes are measured on the *padded* feature maps while
         # projections live in original-image pixels — the reference does
         # the same (Pipe.py:41-45), so keep its convention.

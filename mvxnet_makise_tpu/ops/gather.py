@@ -188,3 +188,116 @@ def bilinear_gather_fpn(features: Sequence[jnp.ndarray],
     gathered = jnp.concatenate(outs, axis=-1)
     gathered = jnp.where(ok[:, None], gathered, 0.0)
     return gathered.reshape(lead + (gathered.shape[-1],))
+
+
+def projected_bilinear_gather_fpn(features: Sequence[jnp.ndarray],
+                                  points_rc: jnp.ndarray,
+                                  valid: jnp.ndarray,
+                                  image_size: Sequence[int],
+                                  *,
+                                  eps: float = 1e-6,
+                                  swapped_weights: bool = False,
+                                  fuse_table_limit: int = 4_000_000
+                                  ) -> jnp.ndarray:
+    """SUM of per-level bilinear gathers of *pre-projected* maps.
+
+    The fusion MLP's first linear layer commutes with the (linear)
+    bilinear interpolation:  ``W^T concat_l(bilerp_l(f)) ==
+    sum_l bilerp_l(f @ W_l)`` — so projecting each (Hf, Wf, 256) level
+    to the fusion width *before* the gather (models/image_head.py
+    ``gather_backend="projected"``) halves every gathered row and lets
+    all levels ride ONE patch-table gather.
+
+    Args:
+      features: list of (Hf, Wf, K) *projected* maps — same K per level.
+      points_rc / valid / image_size / eps / swapped_weights: as in
+        :func:`bilinear_gather_fpn`.
+
+    Returns:
+      (..., K) summed gathered features; invalid points exactly 0.
+
+    When every level halves the previous one exactly (the KITTI-shaped
+    416x1344 pyramid: 104x336 / 52x168 / 26x84) the per-level 2x2 tap
+    cells are all pure functions of the level-0 cell (the floor identity
+    of ``bilinear_gather_fpn``'s fused path, applied from level 0), so a
+    single (H0*W0, 4*K*L) combined patch table serves every level in one
+    row gather.  The textbook weights vanish at the tap cells an
+    O(eps) sliver point moved away from, keeping the identity exact to
+    O(eps); the reference's swapped weights are discontinuous at cell
+    boundaries, so swapped parity runs take the per-level fallback.
+    """
+    im_h, im_w = image_size
+    lead = points_rc.shape[:-1]
+    rc = points_rc.reshape(-1, 2)
+    ok = valid.reshape(-1)
+
+    shapes = [f.shape[:2] for f in features]
+    # The combined table lives at level-0 resolution x 4K x L — at KITTI
+    # shapes that is ~54M elements/image, which both overflows HBM under
+    # vmap(batch 8) and costs more build bandwidth than the row-count
+    # reduction saves (same pattern as the measured xla_fused loss,
+    # DESIGN.md).  Cap it: large pyramids take the per-level path.
+    h0, w0 = shapes[0]
+    table_elems = h0 * w0 * 4 * features[0].shape[-1] * len(features)
+    fuse = (not swapped_weights and len(features) >= 2
+            and table_elems <= fuse_table_limit and all(
+                _halves_exactly(shapes[i], shapes[i + 1])
+                for i in range(len(shapes) - 1)))
+
+    def bilerp(f00, f10, f01, f11, fr, fc):
+        if swapped_weights:
+            return (f00 * fr * fc + f10 * (1 - fr) * fc
+                    + f01 * fr * (1 - fc) + f11 * (1 - fr) * (1 - fc))
+        return (f00 * (1 - fr) * (1 - fc) + f10 * fr * (1 - fc)
+                + f01 * (1 - fr) * fc + f11 * fr * fc)
+
+    cells = []
+    for feat in features:
+        Hf, Wf, _ = feat.shape
+        r = jnp.clip(rc[:, 0] / (im_h / Hf) - eps, 0.0, Hf - 1.0)
+        c = jnp.clip(rc[:, 1] / (im_w / Wf) - eps, 0.0, Wf - 1.0)
+        cells.append((r, c))
+
+    acc = None
+    if fuse:
+        H0, W0, K = features[0].shape
+        blocks = []
+        for l, feat in enumerate(features):
+            p = _patch_table(feat)
+            if l:
+                p = jnp.repeat(jnp.repeat(p, 2 ** l, axis=0), 2 ** l,
+                               axis=1)
+            blocks.append(p)
+        combined = jnp.concatenate(blocks, axis=-1).reshape(H0 * W0, -1)
+        r0b = jnp.floor(cells[0][0]).astype(jnp.int32)
+        c0b = jnp.floor(cells[0][1]).astype(jnp.int32)
+        rows = combined[r0b * W0 + c0b]
+        for l, feat in enumerate(features):
+            r, c = cells[l]
+            r0f = r0b >> l
+            c0f = c0b >> l
+            fr = (r - r0f.astype(r.dtype))[:, None].astype(feat.dtype)
+            fc = (c - c0f.astype(c.dtype))[:, None].astype(feat.dtype)
+            off = 4 * K * l
+            out = bilerp(rows[:, off + 0 * K:off + 1 * K],
+                         rows[:, off + 1 * K:off + 2 * K],
+                         rows[:, off + 2 * K:off + 3 * K],
+                         rows[:, off + 3 * K:off + 4 * K], fr, fc)
+            acc = out if acc is None else acc + out
+    else:
+        for l, feat in enumerate(features):
+            Hf, Wf, K = feat.shape
+            r, c = cells[l]
+            r0 = jnp.floor(r).astype(jnp.int32)
+            c0 = jnp.floor(c).astype(jnp.int32)
+            fr = (r - r0.astype(r.dtype))[:, None].astype(feat.dtype)
+            fc = (c - c0.astype(c.dtype))[:, None].astype(feat.dtype)
+            patch = _patch_table(feat).reshape(Hf * Wf, 4 * K)
+            rows = patch[r0 * Wf + c0]
+            out = bilerp(rows[:, 0 * K:1 * K], rows[:, 1 * K:2 * K],
+                         rows[:, 2 * K:3 * K], rows[:, 3 * K:4 * K],
+                         fr, fc)
+            acc = out if acc is None else acc + out
+
+    acc = jnp.where(ok[:, None], acc, 0.0)
+    return acc.reshape(lead + (acc.shape[-1],))

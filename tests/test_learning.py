@@ -37,6 +37,13 @@ CFG = Config(
     max_points=512, max_voxels=448, max_boxes=2,
     samples_per_voxel=8, assign_window=6,
     batch_size=1, learning_rate=1e-3,
+    # warmup+cosine: flat AdamW 1e-3 oscillates late on a 1-frame batch
+    # (measured: best-checkpoint IoU swings 0.38-0.85 across +-40 steps
+    # depending on kernel-backend rounding), while the decayed run
+    # converges to IoU 0.99 on BOTH boxes and stays there — so the test
+    # asserts on the *final* parameters, schedule-annealed, instead of
+    # cherry-picking a best intermediate state.
+    lr_schedule="cosine", lr_warmup_steps=20, lr_decay_steps=240,
     fusion_mode="pm")
 
 # anchor-cell centres of the (16, 16) feature map: x = 0.4 + 0.8 k,
@@ -94,23 +101,14 @@ def test_overfit_one_batch_recovers_gt():
 
     key = jax.random.key(1)
     losses = []
-    best = (np.inf, None)
     for it in range(240):
         state, metrics = step(state, pts, num, images, gt, gmask, gcls,
                               key)
-        tot = float(metrics["total_loss"])
-        losses.append(tot)
-        # AdamW oscillates late on this tiny batch; evaluate the best
-        # state (the per-epoch-checkpoint analogue), weighting the reg
-        # term so localization quality is part of the selection
-        sel = tot + 3.0 * float(metrics["reg_loss"])
-        if sel < best[0]:
-            best = (sel, jax.tree.map(np.asarray, state.params))
+        losses.append(float(metrics["total_loss"]))
     assert np.isfinite(losses).all()
     # the loss must have collapsed well below the no-learning plateau
-    # (measured 0.022x initial at 240 steps)
+    # (measured 0.043x initial at 240 cosine-annealed steps)
     assert min(losses) < 0.25 * losses[0], (losses[0], min(losses))
-    state = state.replace(params=jax.tree.map(jnp.asarray, best[1]))
 
     # decode must recover each GT box with a confident detection
     batch = frames_to_batch(pts, num, images, gt, gmask, CFG,
@@ -131,6 +129,6 @@ def test_overfit_one_batch_recovers_gt():
                             bev_corners(_GT[g][None]))[0, 0]
             if det.valid[k] else 0.0 for k in range(len(det.boxes))])
         k = int(np.argmax(ious))
-        # measured 0.78 / 0.70 at 240 steps
-        assert ious[k] >= 0.5, (g, ious, det.boxes[:4], _GT[g])
+        # measured 0.993 / 0.996 at 240 cosine-annealed steps
+        assert ious[k] >= 0.85, (g, ious, det.boxes[:4], _GT[g])
         assert det.scores[k] >= 0.5
