@@ -170,9 +170,11 @@ class Config:
     # merged into one wide-row gather — fewer, wider rows run the
     # row-issue-bound gather engine at a higher byte rate) | "pallas"
     # (ops/pallas_gather.py banded selector-matmul kernel; measured
-    # slower at KITTI shapes, 88 vs 63 ms/batch-8 head time on v5e).
-    # auto resolves by measurement — see
-    # models/image_head.PointImageHead.
+    # slower at KITTI shapes, 88 vs 63 ms/batch-8 head time on v5e) |
+    # "projected" (fcn1 folded into the pyramid pre-gather, exact by
+    # linearity; measured 95.6 vs 53.3 ms head time).  auto resolves by
+    # measurement to "xla" — see models/image_head.PointImageHead and
+    # the winner/loser table in docs/DESIGN.md.
     gather_backend: str = "auto"
 
     # rematerialize the CML 3D-conv stack in backward (jax.checkpoint):
