@@ -40,6 +40,7 @@ def main():
                     help="override Config.max_points (capacity sizing "
                          "A/B; 0 = keep the default)")
     ap.add_argument("--norm-scope", default="",
+                    choices=["", "sample", "batch"],
                     help="override Config.norm_scope ('sample' | "
                          "'batch') to A/B the per-sample vmap wrapper")
     ap.add_argument("--max-seconds", type=int, default=1500,
