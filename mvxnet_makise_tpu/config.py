@@ -165,16 +165,16 @@ class Config:
     #               tested variant.
     cml_mode: str = "column"
 
-    # FPN bilinear-gather backend for the image branch: "auto" | "xla"
-    # (ops/gather.py patch-row gather) | "xla_fused" (coarse levels
-    # merged into one wide-row gather — fewer, wider rows run the
-    # row-issue-bound gather engine at a higher byte rate) | "pallas"
-    # (ops/pallas_gather.py banded selector-matmul kernel; measured
-    # slower at KITTI shapes, 88 vs 63 ms/batch-8 head time on v5e) |
-    # "projected" (fcn1 folded into the pyramid pre-gather, exact by
-    # linearity; measured 95.6 vs 53.3 ms head time).  auto resolves by
-    # measurement to "xla" — see models/image_head.PointImageHead and
-    # the winner/loser table in docs/DESIGN.md.
+    # FPN bilinear-gather backend for the image branch: "auto" | "raw4"
+    # (per-image 4-tap row gathers from the raw maps, no patch tables —
+    # the round-4 winner, 20.2 vs 30.0 ms/batch-8 stage time) | "xla"
+    # (vmapped patch-row gather, the r1-r3 default and equivalence
+    # oracle) | "xla_fused" (coarse levels merged into one wide-row
+    # gather) | "pallas" (ops/pallas_gather.py banded selector-matmul
+    # kernel; measured slower at KITTI shapes, 88 vs 63 ms/batch-8 head
+    # time on v5e).  auto resolves by measurement to "raw4" — see
+    # models/image_head.PointImageHead and the winner/loser table in
+    # docs/DESIGN.md.
     gather_backend: str = "auto"
 
     # rematerialize the CML 3D-conv stack in backward (jax.checkpoint):

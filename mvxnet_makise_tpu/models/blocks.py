@@ -96,20 +96,13 @@ class DenseReluNormVirtual(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
-                 z: jnp.ndarray, n_virtual: jnp.ndarray, pre_fn=None):
+                 z: jnp.ndarray, n_virtual: jnp.ndarray):
         """x: (..., P, C); mask: (..., P) real-row validity (stats are
         computed over ALL leading dims jointly, like torch BN over the
         batch); z: (C,) virtual-row value; n_virtual: () count.
-        Returns (x', z').
-
-        ``pre_fn``, when given, computes the real rows' pre-activation
-        ``d(x)`` itself — it is called with the layer's Dense module and
-        must return (..., P, features).  This powers restructured-but-
-        equivalent evaluation orders (e.g. the projected FPN gather,
-        models/image_head.py) where the linear layer is applied upstream
-        of a linear data movement; ``x`` is ignored in that case."""
+        Returns (x', z')."""
         d = nn.Dense(self.features, name="fc")
-        h = nn.relu(d(x) if pre_fn is None else pre_fn(d))
+        h = nn.relu(d(x))
         hz = nn.relu(d(z))
 
         m = mask[..., None].astype(h.dtype)

@@ -104,21 +104,15 @@ class PointImageFusion(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
-                 n_virtual: jnp.ndarray, fcn1_pre_fn=None):
+                 n_virtual: jnp.ndarray):
         """x: (..., P, 768); mask: (..., P); n_virtual: () count of empty
         sample slots.  Returns ((..., P, 16) point features,
-        (16,) empty-slot feature).
-
-        ``fcn1_pre_fn`` (see DenseReluNormVirtual.pre_fn) lets the caller
-        compute fcn1's pre-activation itself — the projected-gather path;
-        ``x`` is then only a shape/dtype placeholder and is never read
-        (XLA dead-code-eliminates it)."""
+        (16,) empty-slot feature)."""
         z = jnp.zeros((x.shape[-1],), x.dtype)
         for name, width in [("fcn1", 768), ("conv1", 128),
                             ("fcn2", 128), ("conv2", 16), ("fcn3", 16)]:
             x, z = DenseReluNormVirtual(width, self.eps, name=name)(
-                x, mask, z, n_virtual,
-                pre_fn=fcn1_pre_fn if name == "fcn1" else None)
+                x, mask, z, n_virtual)
         return x, z
 
 
@@ -131,9 +125,12 @@ class PointImageHead(nn.Module):
     :class:`PointImageFusion`.  Parameter tree matches :class:`ImageHead`
     (extractor/fusion) so checkpoints interchange.
 
-    ``gather_backend="auto"`` resolves to ``"xla"`` (the banded Pallas
-    kernel measured slower in-model — see the backend note in
-    ``__call__``).  ``gather_backend="pallas"`` selects ops/pallas_gather's
+    ``gather_backend="auto"`` resolves to ``"raw4"`` — per-image 4-tap
+    row gathers from the raw feature maps, no patch tables
+    (ops/gather.bilinear_gather_fpn_batch; measured 20.2 vs 30.0 ms for
+    the stage, tools/probe_r4_head2.py).  ``"xla"`` keeps the vmapped
+    patch-table gather (the r1-r3 default and the equivalence oracle).
+    ``gather_backend="pallas"`` selects ops/pallas_gather's
     banded selector-matmul kernel: points are processed in
     image-row-sorted padded order, the
     fusion MLP runs directly on that order (pointwise math + masked
@@ -144,7 +141,7 @@ class PointImageHead(nn.Module):
     image_size: Tuple[int, int] = (370, 1224)
     eps: float = 1e-6
     swapped_bilerp: bool = False
-    # "auto" | "xla" | "xla_fused" | "pallas" | "projected"
+    # "auto" | "raw4" | "xla" | "xla_fused" | "pallas"
     gather_backend: str = "auto"
 
     @nn.compact
@@ -156,15 +153,16 @@ class PointImageHead(nn.Module):
         Returns ((B, P, 16), (16,) empty-slot feature)."""
         import jax
 
-        # measured (v5e, batch 8): xla 63 ms vs pallas 88 ms for this
-        # head — the banded kernel's per-step MXU selector matmuls cost
-        # more than XLA's row-gather engine at these shapes.  Round 3:
-        # "xla_fused" merges the two coarse levels into one wide-row
-        # gather (ops/gather.py fused_coarse) — fewer, wider rows run
-        # the row-issue-bound gather engine at a higher byte rate.
+        # measured (v5e, batch 8): raw4 20.2 ms vs xla (vmapped patch
+        # tables) 30.0 for the gather stage (probe_r4_head2.py); pallas
+        # 88 vs xla 63 ms for the whole head — the banded kernel's
+        # per-step MXU selector matmuls cost more than XLA's row-gather
+        # engine at these shapes.  "xla_fused" (round 3) merges the two
+        # coarse levels into one wide-row gather (ops/gather.py
+        # fused_coarse).
         backend = self.gather_backend
         if backend == "auto":
-            backend = "xla"
+            backend = "raw4"
 
         x = jax.vmap(detection_transform)(images)
         pyramid = ResNet50FPN(name="extractor")(x)
@@ -189,47 +187,19 @@ class PointImageHead(nn.Module):
                 gathered, padmask, n_virtual)
             return jnp.take_along_axis(fused, pos[..., None], axis=1), z
 
-        if backend == "projected":
-            # Fold fcn1 (Dense 768 -> 128) into the pyramid BEFORE the
-            # gather: linearity of bilinear interpolation makes
-            # ``W^T concat_l(bilerp_l(f)) == sum_l bilerp_l(f @ W_l)``
-            # exact, so each gathered row shrinks 256 -> 128 channels
-            # (ops/gather.projected_bilinear_gather_fpn).  Measured at
-            # KITTI shapes (tools/bench_image.py, relayed v5e): 95.6 ms
-            # vs 53.3 for the plain xla head — the halved row payload
-            # does not survive the restructured evaluation order, so
-            # auto stays "xla"; kept selectable with exact-math tests
-            # (tests/test_projected_gather.py).
+        # (a "projected" backend — fcn1 folded into the pyramid
+        # pre-gather, exact by linearity of bilerp — was measured at
+        # 95.6 vs 53.3 ms head time and removed in round 4; see
+        # DESIGN.md's winner/loser table for the record.)
+        if backend == "raw4":
             from mvxnet_makise_tpu.ops.gather import (
-                projected_bilinear_gather_fpn)
+                bilinear_gather_fpn_batch)
 
-            dt = pyramid[0].dtype
-            sizes = [f.shape[-1] for f in pyramid]
-            offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
-            total = offs[-1]
-
-            def fcn1_pre(d):
-                # bias-free per-level projections: recover fcn1's kernel
-                # as d(I) - bias (a one-off 768x768 @ 768xK matmul) and
-                # apply each level's 256-row slice directly — this avoids
-                # materializing 768-channel zero-padded copies of every
-                # pyramid level (which overflowed HBM at KITTI shapes).
-                # Bias is stripped so invalid points can be zeroed
-                # exactly (d(0) == bias, matching zeroed gathered rows).
-                bias = d(jnp.zeros((total,), dt))
-                kernel = d(jnp.eye(total, dtype=dt)) - bias
-                proj = tuple(f @ kernel[offs[l]:offs[l + 1]]
-                             for l, f in enumerate(pyramid))
-                s = jax.vmap(
-                    lambda fs, rc, okm: projected_bilinear_gather_fpn(
-                        fs, rc, okm, self.image_size, eps=self.eps,
-                        swapped_weights=self.swapped_bilerp)
-                )(proj, points_rc, point_mask)
-                return s + bias
-
-            placeholder = jnp.zeros(point_mask.shape + (total,), dt)
+            gathered = bilinear_gather_fpn_batch(
+                tuple(pyramid), points_rc, point_mask, self.image_size,
+                eps=self.eps, swapped_weights=self.swapped_bilerp)
             return PointImageFusion(self.eps, name="fusion")(
-                placeholder, point_mask, n_virtual, fcn1_pre_fn=fcn1_pre)
+                gathered, point_mask, n_virtual)
 
         gathered = jax.vmap(
             lambda feats, rc, ok: bilinear_gather_fpn(

@@ -211,39 +211,6 @@ class ConvReluNormBanded(nn.Module):
         return standardize(y, self.eps)
 
 
-class Conv3DShiftedReluNorm(nn.Module):
-    """3D conv computed as THREE shifted 2D convs accumulated.
-
-    Unlike Conv3DFoldedReluNorm (which materializes a 3C-channel tap
-    tensor — measured slower), this slices the input per depth-tap and
-    accumulates three (B*D_out, H, W, C)->O convolutions.  No large
-    intermediate is written; XLA can fuse the strided slice into the
-    conv's input read.
-    """
-    features: int
-    stride_d: int
-    pad_d: int
-    eps: float = 1e-6
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B, D, H, W, C = x.shape
-        kernel, bias = _Conv3DParams(self.features, C, name="conv")()
-        d_out = (D + 2 * self.pad_d - 3) // self.stride_d + 1
-        xp = jnp.pad(x, ((0, 0), (self.pad_d, self.pad_d),
-                         (0, 0), (0, 0), (0, 0)))
-        y = None
-        for kd in range(3):
-            sl = xp[:, kd:kd + (d_out - 1) * self.stride_d + 1:self.stride_d]
-            part = jax.lax.conv_general_dilated(
-                sl.reshape(B * d_out, H, W, C), kernel[kd],
-                window_strides=(1, 1), padding=((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            y = part if y is None else y + part
-        y = nn.relu((y + bias).reshape(B, d_out, H, W, self.features))
-        return standardize(y, self.eps)
-
-
 class MiddleConvLayers(nn.Module):
     """Dense 3D conv stack compressing depth 10 -> 2
     (reference CML, Pipe.py:31-43).
@@ -253,22 +220,15 @@ class MiddleConvLayers(nn.Module):
     v5e it is *slower* (XLA materializes the 2.2 GB tap tensor instead
     of fusing it into the conv), so the naive 3D form stays the default;
     the folded path is kept for future Mosaic-fused revisions.
+    (A third, shifted-accumulation form was measured at 138 ms vs
+    dense-3D's 82 and removed in round 4 — see DESIGN.md's table.)
     """
     eps: float = 1e-6
     fold_depth: bool = False
-    shifted: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (..., D, H, W, C) = (..., 10, 352, 400, 128)
-        if self.shifted:
-            x = Conv3DShiftedReluNorm(64, 2, 1, self.eps,
-                                      name="conv1")(x)           # D 10->5
-            x = Conv3DShiftedReluNorm(64, 1, 0, self.eps,
-                                      name="conv2")(x)           # D 5->3
-            x = Conv3DShiftedReluNorm(64, 2, 1, self.eps,
-                                      name="conv3")(x)           # D 3->2
-            return x
         if self.fold_depth:
             x = Conv3DFoldedReluNorm(64, 2, 1, self.eps,
                                      name="conv1")(x)            # D 10->5
@@ -335,30 +295,6 @@ def _scatter(features, coords, mask, grid_shape, backend: str):
         return _pallas_scatter_diff(features, coords, mask,
                                     tuple(grid_shape))
     return scatter_voxels_to_grid(features, coords, mask, grid_shape)
-
-
-class SparseConv1ReluNorm(nn.Module):
-    """CML conv1 computed from sparse voxel rows (ops/sparse_conv.py):
-    27 tap matmuls + scatter-add replace the dense-grid scatter AND the
-    dense 3x3x3 conv over the <1%-occupied (10, H, W, 128) grid.  Param
-    tree identical to ConvReluNorm(name='conv1') — checkpoints
-    interchange with the dense path."""
-    features: int
-    in_features: int
-    grid_shape: Sequence[int] = (352, 400, 10)
-    eps: float = 1e-6
-
-    @nn.compact
-    def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
-                 vmask: jnp.ndarray) -> jnp.ndarray:
-        from mvxnet_makise_tpu.ops.sparse_conv import sparse_conv3d_d2
-
-        kernel, bias = _Conv3DParams(
-            self.features, self.in_features, name="conv")()
-        y = jax.vmap(lambda f, c, m: sparse_conv3d_d2(
-            f, c, m, kernel, bias, self.grid_shape))(vfeat, coords, vmask)
-        y = nn.relu(y)
-        return standardize(y, self.eps)
 
 
 class Conv1ScatterBandedReluNorm(nn.Module):
@@ -571,30 +507,6 @@ class MiddleConvLayersColumn(nn.Module):
         x = conv(64, (2, 1, 1),
                  ((1, 1), (1, 1), (1, 1)), self.eps,
                  name="conv3")(x)                            # D 3->2
-        return x
-
-
-class MiddleConvLayersSparse(nn.Module):
-    """CML with a sparse-input first layer: consumes (vfeat, coords,
-    vmask) directly — the 128-channel dense grid (360 MB/frame bf16 at
-    KITTI shapes) never materializes.  conv2/conv3 stay dense (their
-    input is 4x smaller and much denser).  Same param tree as
-    MiddleConvLayers."""
-    eps: float = 1e-6
-    grid_shape: Sequence[int] = (352, 400, 10)
-
-    @nn.compact
-    def __call__(self, vfeat: jnp.ndarray, coords: jnp.ndarray,
-                 vmask: jnp.ndarray) -> jnp.ndarray:
-        x = SparseConv1ReluNorm(
-            64, vfeat.shape[-1], self.grid_shape, self.eps,
-            name="conv1")(vfeat, coords, vmask)              # (B,5,H,W,64)
-        x = ConvReluNorm(64, (3, 3, 3), (1, 1, 1),
-                         ((0, 0), (1, 1), (1, 1)), self.eps,
-                         xavier=False, name="conv2")(x)      # D 5->3
-        x = ConvReluNorm(64, (3, 3, 3), (2, 1, 1),
-                         ((1, 1), (1, 1), (1, 1)), self.eps,
-                         xavier=False, name="conv3")(x)      # D 3->2
         return x
 
 

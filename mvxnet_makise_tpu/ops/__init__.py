@@ -13,5 +13,8 @@ from mvxnet_makise_tpu.ops.scatter import (  # noqa: F401
     scatter_voxels_to_conv1_bands,
     scatter_voxels_to_grid,
 )
-from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn  # noqa: F401
+from mvxnet_makise_tpu.ops.gather import (  # noqa: F401
+    bilinear_gather_fpn,
+    bilinear_gather_fpn_batch,
+)
 from mvxnet_makise_tpu.ops.nms import rotated_nms_bev  # noqa: F401

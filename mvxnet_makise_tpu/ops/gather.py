@@ -190,59 +190,42 @@ def bilinear_gather_fpn(features: Sequence[jnp.ndarray],
     return gathered.reshape(lead + (gathered.shape[-1],))
 
 
-def projected_bilinear_gather_fpn(features: Sequence[jnp.ndarray],
-                                  points_rc: jnp.ndarray,
-                                  valid: jnp.ndarray,
-                                  image_size: Sequence[int],
-                                  *,
-                                  eps: float = 1e-6,
-                                  swapped_weights: bool = False,
-                                  fuse_table_limit: int = 4_000_000
-                                  ) -> jnp.ndarray:
-    """SUM of per-level bilinear gathers of *pre-projected* maps.
+def bilinear_gather_fpn_batch(features: Sequence[jnp.ndarray],
+                              points_rc: jnp.ndarray,
+                              valid: jnp.ndarray,
+                              image_size: Sequence[int],
+                              *,
+                              eps: float = 1e-6,
+                              swapped_weights: bool = False
+                              ) -> jnp.ndarray:
+    """Batched FPN gather: per-image 4-tap row gathers, NO patch tables.
 
-    The fusion MLP's first linear layer commutes with the (linear)
-    bilinear interpolation:  ``W^T concat_l(bilerp_l(f)) ==
-    sum_l bilerp_l(f @ W_l)`` — so projecting each (Hf, Wf, 256) level
-    to the fusion width *before* the gather (models/image_head.py
-    ``gather_backend="projected"``) halves every gathered row and lets
-    all levels ride ONE patch-table gather.
+    The round-4 winner (tools/probe_r4_head2.py, relayed v5e, batch 8):
+    20.2 ms vs 30.0 for the vmapped patch-table formulation — exact to
+    the bit.  Why it wins now: after round 3 shrank max_points to 24576
+    the per-level tables are small (<=35k rows) and XLA's TPU gather
+    runs them at ~6-14 ns/row, so four narrow (512 B) tap gathers from
+    the *raw* feature map cost less than one wide patch-row gather plus
+    the 10.4 ms patch-table build (4x write amplification) it requires.
+    vmap is avoided because XLA lowers the batched gather ~1.7x slower
+    than a python-unrolled loop of per-image small-table gathers
+    (probe_r4_head.py: 23.0 vs 13.4 ms for the patch variant).
+
+    Exact for both weight conventions (r1/c1 use explicit min-clamping,
+    no floor-identity argument needed).  Reference semantics:
+    featureMaping, /root/reference/modules/imhead/Pipe.py:23-82.
 
     Args:
-      features: list of (Hf, Wf, K) *projected* maps — same K per level.
-      points_rc / valid / image_size / eps / swapped_weights: as in
-        :func:`bilinear_gather_fpn`.
+      features: list of (B, Hf, Wf, C) feature maps.
+      points_rc: (B, P, 2) (row, col) in original image pixels.
+      valid: (B, P) bool.
+      image_size: (h, w) original image size.
 
     Returns:
-      (..., K) summed gathered features; invalid points exactly 0.
-
-    When every level halves the previous one exactly (the KITTI-shaped
-    416x1344 pyramid: 104x336 / 52x168 / 26x84) the per-level 2x2 tap
-    cells are all pure functions of the level-0 cell (the floor identity
-    of ``bilinear_gather_fpn``'s fused path, applied from level 0), so a
-    single (H0*W0, 4*K*L) combined patch table serves every level in one
-    row gather.  The textbook weights vanish at the tap cells an
-    O(eps) sliver point moved away from, keeping the identity exact to
-    O(eps); the reference's swapped weights are discontinuous at cell
-    boundaries, so swapped parity runs take the per-level fallback.
+      (B, P, sum_of_level_channels); invalid points 0.
     """
     im_h, im_w = image_size
-    lead = points_rc.shape[:-1]
-    rc = points_rc.reshape(-1, 2)
-    ok = valid.reshape(-1)
-
-    shapes = [f.shape[:2] for f in features]
-    # The combined table lives at level-0 resolution x 4K x L — at KITTI
-    # shapes that is ~54M elements/image, which both overflows HBM under
-    # vmap(batch 8) and costs more build bandwidth than the row-count
-    # reduction saves (same pattern as the measured xla_fused loss,
-    # DESIGN.md).  Cap it: large pyramids take the per-level path.
-    h0, w0 = shapes[0]
-    table_elems = h0 * w0 * 4 * features[0].shape[-1] * len(features)
-    fuse = (not swapped_weights and len(features) >= 2
-            and table_elems <= fuse_table_limit and all(
-                _halves_exactly(shapes[i], shapes[i + 1])
-                for i in range(len(shapes) - 1)))
+    B, P = valid.shape
 
     def bilerp(f00, f10, f01, f11, fr, fc):
         if swapped_weights:
@@ -251,53 +234,21 @@ def projected_bilinear_gather_fpn(features: Sequence[jnp.ndarray],
         return (f00 * (1 - fr) * (1 - fc) + f10 * fr * (1 - fc)
                 + f01 * (1 - fr) * fc + f11 * fr * fc)
 
-    cells = []
+    outs = []
     for feat in features:
-        Hf, Wf, _ = feat.shape
-        r = jnp.clip(rc[:, 0] / (im_h / Hf) - eps, 0.0, Hf - 1.0)
-        c = jnp.clip(rc[:, 1] / (im_w / Wf) - eps, 0.0, Wf - 1.0)
-        cells.append((r, c))
-
-    acc = None
-    if fuse:
-        H0, W0, K = features[0].shape
-        blocks = []
-        for l, feat in enumerate(features):
-            p = _patch_table(feat)
-            if l:
-                p = jnp.repeat(jnp.repeat(p, 2 ** l, axis=0), 2 ** l,
-                               axis=1)
-            blocks.append(p)
-        combined = jnp.concatenate(blocks, axis=-1).reshape(H0 * W0, -1)
-        r0b = jnp.floor(cells[0][0]).astype(jnp.int32)
-        c0b = jnp.floor(cells[0][1]).astype(jnp.int32)
-        rows = combined[r0b * W0 + c0b]
-        for l, feat in enumerate(features):
-            r, c = cells[l]
-            r0f = r0b >> l
-            c0f = c0b >> l
-            fr = (r - r0f.astype(r.dtype))[:, None].astype(feat.dtype)
-            fc = (c - c0f.astype(c.dtype))[:, None].astype(feat.dtype)
-            off = 4 * K * l
-            out = bilerp(rows[:, off + 0 * K:off + 1 * K],
-                         rows[:, off + 1 * K:off + 2 * K],
-                         rows[:, off + 2 * K:off + 3 * K],
-                         rows[:, off + 3 * K:off + 4 * K], fr, fc)
-            acc = out if acc is None else acc + out
-    else:
-        for l, feat in enumerate(features):
-            Hf, Wf, K = feat.shape
-            r, c = cells[l]
-            r0 = jnp.floor(r).astype(jnp.int32)
-            c0 = jnp.floor(c).astype(jnp.int32)
-            fr = (r - r0.astype(r.dtype))[:, None].astype(feat.dtype)
-            fc = (c - c0.astype(c.dtype))[:, None].astype(feat.dtype)
-            patch = _patch_table(feat).reshape(Hf * Wf, 4 * K)
-            rows = patch[r0 * Wf + c0]
-            out = bilerp(rows[:, 0 * K:1 * K], rows[:, 1 * K:2 * K],
-                         rows[:, 2 * K:3 * K], rows[:, 3 * K:4 * K],
-                         fr, fc)
-            acc = out if acc is None else acc + out
-
-    acc = jnp.where(ok[:, None], acc, 0.0)
-    return acc.reshape(lead + (acc.shape[-1],))
+        _, Hf, Wf, C = feat.shape
+        r = jnp.clip(points_rc[..., 0] / (im_h / Hf) - eps, 0.0, Hf - 1.0)
+        c = jnp.clip(points_rc[..., 1] / (im_w / Wf) - eps, 0.0, Wf - 1.0)
+        r0 = jnp.floor(r).astype(jnp.int32)
+        c0 = jnp.floor(c).astype(jnp.int32)
+        fr = (r - r0).astype(feat.dtype)[..., None]
+        fc = (c - c0).astype(feat.dtype)[..., None]
+        r1 = jnp.minimum(r0 + 1, Hf - 1)
+        c1 = jnp.minimum(c0 + 1, Wf - 1)
+        tab = feat.reshape(B, Hf * Wf, C)
+        taps = [jnp.stack([tab[b][idx[b]] for b in range(B)])
+                for idx in (r0 * Wf + c0, r1 * Wf + c0,
+                            r0 * Wf + c1, r1 * Wf + c1)]
+        outs.append(bilerp(*taps, fr, fc))
+    g = jnp.concatenate(outs, axis=-1)
+    return jnp.where(valid[..., None], g, 0)

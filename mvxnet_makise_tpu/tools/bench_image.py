@@ -108,7 +108,7 @@ timeit("fusion_mlp",
        lambda g, k, n: PointImageFusion().apply(fp, g, k, n),
        gathered, kept, nv)
 
-for mode in ("xla", "xla_fused", "projected"):
+for mode in ("raw4", "xla", "xla_fused"):
     head = PointImageHead(cfg.image_size, gather_backend=mode)
     timeit(f"head_{mode}",
            lambda im, r, k, n, h=head: h.apply(hp, im, r, k, n)[0],

@@ -471,14 +471,3 @@ def test_cml_depth_fold_matches_3d(rng):
     np.testing.assert_allclose(y_fold, y_naive, rtol=1e-3, atol=1e-4)
 
 
-def test_cml_shifted_matches_3d(rng):
-    """Shifted-accumulation CML == naive 3D conv CML with same params."""
-    from mvxnet_makise_tpu.models.voxelnet import MiddleConvLayers
-
-    x = jnp.asarray(rng.normal(size=(1, 10, 24, 20, 16)).astype(np.float32))
-    shifted = MiddleConvLayers(shifted=True)
-    naive = MiddleConvLayers(fold_depth=False)
-    params = naive.init(jax.random.key(0), x)
-    y_naive = np.asarray(naive.apply(params, x))
-    y_shift = np.asarray(shifted.apply(params, x))
-    np.testing.assert_allclose(y_shift, y_naive, rtol=1e-3, atol=1e-4)

@@ -14,6 +14,7 @@ from mvxnet_makise_tpu.geometry.boxes import rotated_iou_bev
 from mvxnet_makise_tpu.ops import (
     assign_anchor_targets,
     bilinear_gather_fpn,
+    bilinear_gather_fpn_batch,
     create_anchors,
     rotated_nms_bev,
     scatter_voxels_to_grid,
@@ -174,6 +175,35 @@ def test_gather_matches_numpy(rng):
                               swapped=swapped)
                 for f in feats])
             np.testing.assert_allclose(out[i], exp, rtol=1e-4, atol=1e-5)
+
+
+def test_gather_batch_raw4_matches_vmapped(rng):
+    """bilinear_gather_fpn_batch (per-image 4-tap raw gathers, the
+    round-4 default) == vmap(bilinear_gather_fpn) bit-for-bit intent,
+    both weight conventions, including edge cells and invalid rows."""
+    import jax
+
+    im_h, im_w = 370, 1224
+    B, P = 3, 64
+    feats = [rng.normal(size=(B, 93, 306, 4)).astype(np.float32),
+             rng.normal(size=(B, 47, 153, 4)).astype(np.float32),
+             rng.normal(size=(B, 24, 77, 4)).astype(np.float32)]
+    rc = np.stack([rng.uniform(0, im_h, (B, P)),
+                   rng.uniform(0, im_w, (B, P))], axis=-1)
+    rc = rc.astype(np.float32)
+    rc[:, 0] = [im_h - 1e-4, im_w - 1e-4]   # exact far corner
+    rc[:, 1] = 0.0                          # exact origin
+    valid = rng.random((B, P)) > 0.2
+    for swapped in (False, True):
+        ref = np.asarray(jax.vmap(
+            lambda fs, r, v: bilinear_gather_fpn(
+                fs, r, v, (im_h, im_w), swapped_weights=swapped)
+        )(tuple(jnp.asarray(f) for f in feats), jnp.asarray(rc),
+          jnp.asarray(valid)))
+        out = np.asarray(bilinear_gather_fpn_batch(
+            tuple(jnp.asarray(f) for f in feats), jnp.asarray(rc),
+            jnp.asarray(valid), (im_h, im_w), swapped_weights=swapped))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
 def test_gather_fused_coarse_matches_unfused(rng):
