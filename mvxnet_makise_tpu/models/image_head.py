@@ -64,14 +64,21 @@ def detection_transform(image: jnp.ndarray) -> jnp.ndarray:
     """(H, W, 3) float image in [0, 1] -> normalized, resized, padded
     (Hp, Wp, 3) tensor, matching the torchvision transform the reference
     reuses (Pipe.py:18): normalize first, bilinear resize, zero-pad
-    bottom/right to a multiple of 32."""
+    bottom/right to a multiple of 32.
+
+    dtype-preserving: normalize/resize run in f32 for accuracy, but the
+    output is cast back to the input dtype.  (The f32 numpy mean/std
+    constants used to promote bf16 inputs to f32 — and because every
+    downstream stage inherits the pyramid's dtype, that one promotion
+    silently ran the ENTIRE fused model in f32 on TPU until round 4.)"""
     import jax
 
     h, w = image.shape[:2]
     (rh, rw), (ph, pw) = transform_output_shape((h, w))
-    x = (image - _IMAGENET_MEAN) / _IMAGENET_STD
+    x = (image.astype(jnp.float32) - _IMAGENET_MEAN) / _IMAGENET_STD
     x = jax.image.resize(x, (rh, rw, 3), method="bilinear")
-    return jnp.pad(x, ((0, ph - rh), (0, pw - rw), (0, 0)))
+    return jnp.pad(x, ((0, ph - rh), (0, pw - rw), (0, 0))) \
+        .astype(image.dtype)
 
 
 class ImageFeatureFusion(nn.Module):

@@ -67,6 +67,16 @@ def main(argv=None):
     def sync(x):
         return float(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
 
+    def _flops(fn) -> float:
+        """XLA-counted FLOPs of the jitted stage (issued, not useful)."""
+        try:
+            ca = fn.lower().compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
     def bench(name, fn):
         t0 = time.perf_counter()
         out = fn()
@@ -77,9 +87,15 @@ def main(argv=None):
             out = fn()
         sync(out)
         dt = (time.perf_counter() - t0) / args.iters
-        print(json.dumps({"stage": name, "ms_per_batch": round(dt * 1e3, 2),
-                          "ms_per_frame": round(dt * 1e3 / B, 3),
-                          "compile_s": round(compile_s, 1)}), flush=True)
+        gf = _flops(fn) / 1e9
+        rec = {"stage": name, "ms_per_batch": round(dt * 1e3, 2),
+               "ms_per_frame": round(dt * 1e3 / B, 3),
+               "compile_s": round(compile_s, 1)}
+        if gf:
+            rec["gflop_per_batch"] = round(gf, 1)
+            rec["gflop_per_frame"] = round(gf / B, 1)
+            rec["tflops"] = round(gf / 1e3 / dt, 1)
+        print(json.dumps(rec), flush=True)
 
     zero_gt = (jnp.zeros((B, 1, 7)), jnp.zeros((B, 1), bool))
     bench("voxelize", jax.jit(

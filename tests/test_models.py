@@ -471,3 +471,37 @@ def test_cml_depth_fold_matches_3d(rng):
     np.testing.assert_allclose(y_fold, y_naive, rtol=1e-3, atol=1e-4)
 
 
+
+def test_bf16_compute_path_stays_bf16(rng):
+    """The fused flagship model must run bf16 END TO END when
+    use_bf16=True.  Regression guard for the round-4 find: the
+    detection transform's f32 numpy mean/std promoted bf16 images to
+    f32, and because every later stage inherits the pyramid's dtype the
+    whole model (image branch, VFE, CML, RPN) silently computed in f32
+    on TPU (models/image_head.detection_transform)."""
+    from mvxnet_makise_tpu.config import Config
+    from mvxnet_makise_tpu.train.loop import build_model_and_state
+    from mvxnet_makise_tpu.train.state import cast_for_compute, make_apply
+    from mvxnet_makise_tpu.train.step import (_model_inputs,
+                                              cast_batch_for_compute,
+                                              frames_to_batch)
+
+    cfg = Config(use_bf16=True, batch_size=1, max_points=128,
+                 max_voxels=64, voxel_shape=(16, 16, 10),
+                 image_size=(64, 96), samples_per_voxel=4)
+    pts = jnp.asarray(rng.uniform(0, 3, (1, 128, 6)), jnp.float32)
+    nums = jnp.full((1,), 128, jnp.int32)
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)), jnp.float32)
+    batch = jax.jit(lambda *a: frames_to_batch(*a, cfg))(
+        pts, nums, imgs, jnp.zeros((1, 1, 7)), jnp.zeros((1, 1), bool))
+    model, state = build_model_and_state(cfg, True)
+    cparams = cast_for_compute(state.params, True)
+    cbatch = cast_batch_for_compute(batch, True)
+    score, reg = jax.eval_shape(lambda: make_apply(model, cfg)(
+        cparams, *_model_inputs(cbatch, True)))
+    assert score.dtype == jnp.bfloat16, score.dtype
+    assert reg.dtype == jnp.bfloat16, reg.dtype
+    # the transform itself must be dtype-preserving
+    out = jax.eval_shape(detection_transform,
+                         jax.ShapeDtypeStruct((64, 96, 3), jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16
