@@ -43,6 +43,66 @@ class FoldedNorm(nn.Module):
         return x * scale + bias
 
 
+class StemConv(nn.Module):
+    """The ResNet 7x7/stride-2 stem conv, with an optional
+    space-to-depth evaluation.
+
+    The naive stem is the worst op on a TPU: 3 input channels leave
+    125 of the MXU's 128 reduction lanes idle (measured 7.7 of the
+    extractor's 16.1 ms/batch-8 at ~2% MFU — tools/bench_resnet.py).
+    ``s2d=True`` evaluates the SAME parameters as a 4x4/stride-1 conv
+    over a 2x2 space-to-depth input (12 channels): zero-pad the 7x7
+    kernel to 8x8 on the leading edges and regroup even/odd taps —
+    an exact refold, not an approximation.  The parameter tree is
+    identical either way (one (7, 7, 3, 64) kernel named like
+    ``nn.Conv``'s), so torchvision imports and checkpoints are
+    unaffected.  Reference stem: torchvision ResNet50 ``body.conv1``
+    (/root/reference/modules/imhead/Pipe.py:8-21).
+
+    Measured (v5e, batch 8, tools/bench_resnet.py): the refold wins
+    the stem stage (6.97 vs 7.74 ms) but the gain leaks back into
+    layer1's fusion boundary and the full extractor is flat (16.36 vs
+    16.12 ms) — XLA's small-K conv path runs ~4 TFLOP/s at K=12 just
+    as at K=3, so channel folding is not the lever here.  Default
+    stays the direct form; ``s2d=True`` remains selectable and
+    equivalence-tested (tests/test_models.py).
+    """
+    features: int = 64
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features))
+        kernel = kernel.astype(x.dtype)
+        if not self.s2d:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        B, H, W, C = x.shape
+        h2, w2 = H // 2, W // 2
+        # out[i,j] = sum_{u,v} w[u,v] x[2i+u-3, 2j+v-3]
+        #          = sum_{t=u+1} w8[t] xpad[2i+t],  xpad = pad-left-4
+        # with t = 2q+r: a 4x4 VALID conv over the 2x2 s2d of xpad
+        xpad = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        xs = xpad.reshape(B, h2 + 4, 2, w2 + 4, 2, C)
+        xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+            B, h2 + 4, w2 + 4, 4 * C)
+        w8 = jnp.zeros((8, 8, C, self.features), kernel.dtype
+                       ).at[1:8, 1:8].set(kernel)
+        ws = w8.reshape(4, 2, 4, 2, C, self.features)
+        ws = jnp.transpose(ws, (0, 2, 1, 3, 4, 5)).reshape(
+            4, 4, 4 * C, self.features)
+        y = jax.lax.conv_general_dilated(
+            xs, ws, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[:, :h2, :w2, :]
+
+
 class Bottleneck(nn.Module):
     """ResNet bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + skip."""
     features: int
@@ -76,12 +136,13 @@ class ResNet50FPN(nn.Module):
     fpn_channels: int = 256
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     num_levels: int = 3
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
-        # stem
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
+        # stem (StemConv s2d=True is the exact space-to-depth refold —
+        # measured flat across the full extractor, so off by default)
+        x = StemConv(64, s2d=self.s2d_stem, name="conv1")(x)
         x = FoldedNorm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -228,8 +228,15 @@ def _merge_taps_fwd(y, col_cy, bounds, grid_shape, backend):
 
 def _merge_taps_bwd(grid_shape, backend, res, g):
     """The merge is linear: each tap's cotangent is a gather of the
-    output cotangent at the tap-shifted cell (XLA gathers; a dedicated
-    backward kernel is a future optimization — training still runs)."""
+    output cotangent at the tap-shifted cell.
+
+    The 9 taps of one column read a contiguous 3x3 spatial window of the
+    padded cotangent around (cx+1, cy+1), so instead of 9 per-tap row
+    gathers (9V rows of R values — measured 27.5 ms/batch-8 at flagship
+    shapes) this issues ONE windowed gather of (3, 3, R) slices: 3x fewer
+    row issues, each row 3x wider — the shape the TPU gather engine is
+    fastest at (see DESIGN.md's row-issue measurements).  Values are
+    identical: tap (kh, kw) = window[2-kh, 2-kw]."""
     col_cy, bounds = res
     nx, ny, _ = grid_shape
     B, _, _, r = g.shape
@@ -241,14 +248,18 @@ def _merge_taps_bwd(grid_shape, backend, res, g):
         cm = col_ids < bf[-1]
         gpad = jnp.zeros((nx + 2, ny + 2, r), gf.dtype).at[
             1:-1, 1:-1].set(gf)
-        taps = []
-        for kh in range(3):
-            ox = jnp.clip(cx + 2 - kh, 0, nx + 1)
-            for kw in range(3):
-                oy = jnp.clip(cyf + 2 - kw, 0, ny + 1)
-                rowv = gpad[ox, oy]                       # (V, R)
-                taps.append(jnp.where(cm[:, None], rowv, 0.0))
-        return jnp.stack(taps, axis=1)                    # (V, 9, R)
+        # window corner (cx, cy) in padded coords; valid columns have
+        # cx in [0, nx), cy in [0, ny) so the 3x3 window always fits —
+        # mode="clip" only ever acts on dead (masked) columns
+        starts = jnp.stack([cx, cyf], axis=-1)            # (V, 2)
+        win = jax.lax.gather(
+            gpad, starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+                start_index_map=(0, 1)),
+            slice_sizes=(3, 3, r), mode="clip")           # (V, 3, 3, R)
+        taps = win[:, ::-1, ::-1, :].reshape(V, 9, r)
+        return jnp.where(cm[:, None, None], taps, 0.0)
 
     dy = jax.vmap(one)(g, col_cy, bounds)
     return dy.astype(g.dtype), None, None

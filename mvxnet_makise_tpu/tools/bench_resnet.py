@@ -23,7 +23,7 @@ import flax.linen as nn
 from mvxnet_makise_tpu.config import Config
 from mvxnet_makise_tpu.models.image_head import detection_transform
 from mvxnet_makise_tpu.models.resnet_fpn import (Bottleneck, FoldedNorm,
-                                                 ResNet50FPN)
+                                                 ResNet50FPN, StemConv)
 
 B = 8
 cfg = Config(use_bf16=True, batch_size=B)
@@ -38,8 +38,7 @@ class Probe(ResNet50FPN):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
+        x = StemConv(64, s2d=self.s2d_stem, name="conv1")(x)
         x = FoldedNorm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -204,6 +204,27 @@ def test_resnet_fpn_import_and_forward(rng):
     assert all(jax.tree.leaves(chex_shapes))
 
 
+def test_s2d_stem_equals_direct_conv(rng):
+    """StemConv's space-to-depth refold is exact: same params, same
+    output as the direct 7x7/2 conv (models/resnet_fpn.StemConv)."""
+    from mvxnet_makise_tpu.models.resnet_fpn import StemConv
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+    direct = StemConv(64, s2d=False)
+    folded = StemConv(64, s2d=True)
+    params = direct.init(jax.random.key(3), x)
+    y0 = direct.apply(params, x)
+    y1 = folded.apply(params, x)
+    assert y0.shape == y1.shape == (2, 32, 48, 64)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+    # odd-content edges: non-zero border pixels exercise the padding
+    xb = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(direct.apply(params, xb)),
+        np.asarray(folded.apply(params, xb)), rtol=1e-5, atol=1e-5)
+
+
 def test_detection_transform_static_shape():
     (rh, rw), (ph, pw) = transform_output_shape((370, 1224))
     assert (ph % 32, pw % 32) == (0, 0)
