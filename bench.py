@@ -43,6 +43,10 @@ def main():
                     choices=["", "sample", "batch"],
                     help="override Config.norm_scope ('sample' | "
                          "'batch') to A/B the per-sample vmap wrapper")
+    ap.add_argument("--image-min-side", type=float, default=-1.0,
+                    help="override Config.image_min_side (torchvision "
+                         "transform min side; 0 = native scale, -1 = "
+                         "keep the reference default 800)")
     ap.add_argument("--max-seconds", type=int, default=1500,
                     help="watchdog: emit an error JSON instead of hanging "
                          "forever if the device link wedges")
@@ -80,7 +84,9 @@ def main():
                  **({"max_points": args.max_points}
                     if args.max_points else {}),
                  **({"norm_scope": args.norm_scope}
-                    if args.norm_scope else {}))
+                    if args.norm_scope else {}),
+                 **({"image_min_side": args.image_min_side}
+                    if args.image_min_side >= 0 else {}))
     rng = np.random.default_rng(0)
 
     # host-side: synthesize + pad a batch of KITTI-like frames

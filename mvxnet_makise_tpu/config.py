@@ -177,6 +177,18 @@ class Config:
     # docs/DESIGN.md.
     gather_backend: str = "auto"
 
+    # detection-transform min side (torchvision GeneralizedRCNNTransform;
+    # the reference inherits 800/1333 from FasterRCNN — imhead/Pipe.py:18).
+    # NOTE the max-side cap BINDS at KITTI aspect: 370x1224 scales by
+    # 1333/1224 = 1.089 to 416x1344 padded, not by 800/370.  <= 0 = native
+    # scale (pad only, 384x1248: ~1.17x fewer pixels); smaller values
+    # (e.g. 200) shrink the frozen ResNet50-FPN's work quadratically.
+    # AP caveat: the frozen torchvision weights were trained at the
+    # 800/1333 operating point, so non-default values change the image
+    # features' scale statistics — a serving-economy knob, not a parity
+    # configuration.  Measured table in docs/DESIGN.md.
+    image_min_side: float = 800.0
+
     # rematerialize the CML 3D-conv stack in backward (jax.checkpoint):
     # trades one extra forward for the ~720 MB/frame dense-grid
     # activations; enable for large batches
@@ -208,6 +220,13 @@ class Config:
     class_pos_thresholds: Tuple[float, ...] = dataclasses.field(init=False)
 
     def __post_init__(self):
+        # typos like 'Sample' would otherwise fall through make_apply's
+        # == 'sample' check and silently run batch-scope statistics,
+        # corrupting any per-sample-semantics A/B (ADVICE r3).
+        if self.norm_scope not in ("sample", "batch"):
+            raise ValueError(
+                f"norm_scope={self.norm_scope!r} — must be 'sample' "
+                f"(reference batch-1 semantics) or 'batch'")
         vr, vs = self.velo_range, self.voxel_shape
         object.__setattr__(
             self, "voxel_size",

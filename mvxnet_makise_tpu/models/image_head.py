@@ -50,17 +50,36 @@ _MAX_SIZE = 1333.0
 _PAD_STRIDE = 32
 
 
-def transform_output_shape(image_size: Sequence[int]) -> Tuple[int, int]:
+def _transform_scale(h: int, w: int, min_side: float) -> float:
+    """torchvision GeneralizedRCNNTransform scale for an (h, w) image.
+
+    ``min_side <= 0`` selects *native scale* (no resize, pad only).  At
+    the reference default (800/1333) the KITTI aspect ratio makes the
+    max-side constraint bind: 370x1224 scales by 1333/1224 = 1.089 to
+    403x1333 — NOT by 800/370 = 2.16 (a common misreading; the
+    measured-pixels table in docs/DESIGN.md is the record)."""
+    if min_side <= 0:
+        return 1.0
+    # keep the torchvision min/max aspect cap proportional so sub-800
+    # settings shrink the long side too instead of re-binding at 1333
+    max_side = _MAX_SIZE * (min_side / _MIN_SIZE)
+    return min(min_side / min(h, w), max_side / max(h, w))
+
+
+def transform_output_shape(image_size: Sequence[int],
+                           min_side: float = _MIN_SIZE
+                           ) -> Tuple[int, int]:
     """Static (resized, padded) shape for a given input (h, w)."""
     h, w = image_size
-    scale = min(_MIN_SIZE / min(h, w), _MAX_SIZE / max(h, w))
+    scale = _transform_scale(h, w, min_side)
     rh, rw = int(h * scale), int(w * scale)
     ph = int(math.ceil(rh / _PAD_STRIDE) * _PAD_STRIDE)
     pw = int(math.ceil(rw / _PAD_STRIDE) * _PAD_STRIDE)
     return (rh, rw), (ph, pw)
 
 
-def detection_transform(image: jnp.ndarray) -> jnp.ndarray:
+def detection_transform(image: jnp.ndarray,
+                        min_side: float = _MIN_SIZE) -> jnp.ndarray:
     """(H, W, 3) float image in [0, 1] -> normalized, resized, padded
     (Hp, Wp, 3) tensor, matching the torchvision transform the reference
     reuses (Pipe.py:18): normalize first, bilinear resize, zero-pad
@@ -74,9 +93,10 @@ def detection_transform(image: jnp.ndarray) -> jnp.ndarray:
     import jax
 
     h, w = image.shape[:2]
-    (rh, rw), (ph, pw) = transform_output_shape((h, w))
+    (rh, rw), (ph, pw) = transform_output_shape((h, w), min_side)
     x = (image.astype(jnp.float32) - _IMAGENET_MEAN) / _IMAGENET_STD
-    x = jax.image.resize(x, (rh, rw, 3), method="bilinear")
+    if (rh, rw) != (h, w):
+        x = jax.image.resize(x, (rh, rw, 3), method="bilinear")
     return jnp.pad(x, ((0, ph - rh), (0, pw - rw), (0, 0))) \
         .astype(image.dtype)
 
@@ -150,6 +170,11 @@ class PointImageHead(nn.Module):
     swapped_bilerp: bool = False
     # "auto" | "raw4" | "xla" | "xla_fused" | "pallas"
     gather_backend: str = "auto"
+    # transform min-side (reference torchvision default 800; <= 0 =
+    # native scale).  The gather maps original-image pixels to feature
+    # cells through the pyramid's own (Hf, Wf), so every backend adapts
+    # to the resolution automatically.  AP caveat in Config.
+    image_min_side: float = _MIN_SIZE
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, points_rc: jnp.ndarray,
@@ -171,7 +196,9 @@ class PointImageHead(nn.Module):
         if backend == "auto":
             backend = "raw4"
 
-        x = jax.vmap(detection_transform)(images)
+        x = jax.vmap(
+            lambda im: detection_transform(im, self.image_min_side)
+        )(images)
         pyramid = ResNet50FPN(name="extractor")(x)
         # The extractor is frozen (reference Head.py:9-11; the optimizer
         # routes its params to set_to_zero — train/state.py).  Cut the
@@ -224,6 +251,7 @@ class ImageHead(nn.Module):
     image_size: Tuple[int, int] = (370, 1224)
     eps: float = 1e-6
     swapped_bilerp: bool = False
+    image_min_side: float = _MIN_SIZE
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, points_rc: jnp.ndarray,
@@ -234,7 +262,9 @@ class ImageHead(nn.Module):
         voxel_mask: (B, V).  Returns (B, V, T, 16)."""
         import jax
 
-        x = jax.vmap(detection_transform)(images)
+        x = jax.vmap(
+            lambda im: detection_transform(im, self.image_min_side)
+        )(images)
         pyramid = ResNet50FPN(name="extractor")(x)
         # The extractor is frozen (reference Head.py:9-11; the optimizer
         # routes its params to set_to_zero — train/state.py).  Cut the

@@ -44,6 +44,7 @@ class MVXNet(nn.Module):
     eps: float = 1e-6
     swapped_bilerp: bool = False
     remat: bool = False
+    image_min_side: float = 800.0
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -61,6 +62,7 @@ class MVXNet(nn.Module):
 
         imfeat = ImageHead(
             self.image_size, self.eps, self.swapped_bilerp,
+            image_min_side=self.image_min_side,
             name="head")(images, points_rc, point_valid, mask)
 
         fused = jnp.concatenate([voxels[..., :7], imfeat], axis=-1)
@@ -87,6 +89,7 @@ class MVXNetPointFusion(nn.Module):
     swapped_bilerp: bool = False
     remat: bool = False
     gather_backend: str = "auto"
+    image_min_side: float = 800.0
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -107,6 +110,7 @@ class MVXNetPointFusion(nn.Module):
         feats, z = PointImageHead(
             self.image_size, self.eps, self.swapped_bilerp,
             self.gather_backend,
+            image_min_side=self.image_min_side,
             name="head")(images, points[..., 4:6], kept, n_virtual)
         # (B, P, 16), (16,)
 
@@ -147,6 +151,7 @@ class MVXNetVoxelFusion(nn.Module):
     box_dim: int = 7
     eps: float = 1e-6
     voxel_image_dim: int = 32
+    image_min_side: float = 800.0
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -168,7 +173,9 @@ class MVXNetVoxelFusion(nn.Module):
         rc = jnp.sum(voxels[..., 7:9] * slot_valid[..., None],
                      axis=-2) / cnt[..., None]             # (B, V, 2)
 
-        timg = jax.vmap(detection_transform)(images)
+        timg = jax.vmap(
+            lambda im: detection_transform(im, self.image_min_side)
+        )(images)
         pyramid = ResNet50FPN(name="extractor")(timg)
         gathered = jax.vmap(
             lambda feats, r, ok: bilinear_gather_fpn(
@@ -214,6 +221,7 @@ class MVXNetPM(nn.Module):
     scatter_backend: str = "auto"
     gather_backend: str = "auto"
     cml_mode: str = "dense3d"
+    image_min_side: float = 800.0
 
     @nn.compact
     def __call__(self, sorted_points: jnp.ndarray,
@@ -237,6 +245,7 @@ class MVXNetPM(nn.Module):
         imfeat, z16 = PointImageHead(
             self.image_size, self.eps, self.swapped_bilerp,
             self.gather_backend,
+            image_min_side=self.image_min_side,
             name="head")(images, sorted_points[..., 4:6], sorted_kept,
                          n_virtual)
 

@@ -121,7 +121,8 @@ def build_model_and_state(cfg: Config, with_images: bool,
     if with_images:
         kw = dict(grid_shape=cfg.voxel_shape,
                   image_size=cfg.image_size,
-                  anchors_per_loc=cfg.anchors_per_loc)
+                  anchors_per_loc=cfg.anchors_per_loc,
+                  image_min_side=cfg.image_min_side)
         if cfg.fusion_mode != "voxel":
             kw.update(swapped_bilerp=cfg.compat_swapped_bilerp,
                       remat=cfg.remat)

@@ -90,3 +90,17 @@ def test_shipped_baseline_configs_load():
     assert multi.anchors_per_loc == 6
     # per-class thresholds derived (Ped/Cyc use the smaller conventions)
     assert multi.class_pos_thresholds == (0.6, 0.5, 0.5)
+
+
+def test_norm_scope_validated():
+    """Typos like 'Sample' must fail loudly at config time instead of
+    silently falling through make_apply's == 'sample' check to batch
+    statistics (ADVICE r3)."""
+    import pytest
+
+    from mvxnet_makise_tpu.config import Config
+
+    with pytest.raises(ValueError, match="norm_scope"):
+        Config(norm_scope="Sample")
+    Config(norm_scope="batch")  # both legal values construct
+    Config(norm_scope="sample")

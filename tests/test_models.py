@@ -232,6 +232,66 @@ def test_detection_transform_static_shape():
     img = jnp.zeros((370, 1224, 3))
     out = detection_transform(img)
     assert out.shape == (ph, pw, 3)
+    # the max-side cap binds at KITTI aspect: scale = 1333/1224, NOT
+    # 800/370 — the padded shape must be 416x1344 (docs/DESIGN.md)
+    assert (ph, pw) == (416, 1344)
+
+
+def test_detection_transform_min_side():
+    # native scale (min_side <= 0): no resize, pad-to-32 only
+    (rh, rw), (ph, pw) = transform_output_shape((370, 1224), 0)
+    assert (rh, rw) == (370, 1224) and (ph, pw) == (384, 1248)
+    img = jnp.ones((70, 100, 3), jnp.float32) * 0.5
+    out = detection_transform(img, 0)
+    assert out.shape == (96, 128, 3)
+    # native content is the normalized input, untouched by resampling
+    ref = (np.full((70, 100, 3), 0.5, np.float32)
+           - np.array([0.485, 0.456, 0.406], np.float32)) \
+        / np.array([0.229, 0.224, 0.225], np.float32)
+    np.testing.assert_allclose(np.asarray(out)[:70, :100], ref, rtol=1e-6)
+    # sub-reference min sides scale the max-side cap proportionally so
+    # the long side shrinks too (not re-clamped at 1333)
+    (rh2, rw2), _ = transform_output_shape((370, 1224), 400)
+    assert rh2 == int(370 * (1333 / 2) / 1224)
+    assert rw2 <= 1333 / 2
+    # default argument reproduces the reference operating point exactly
+    assert transform_output_shape((370, 1224), 800.0) \
+        == transform_output_shape((370, 1224))
+
+
+def test_pm_model_native_scale_forward(rng):
+    """MVXNetPM with image_min_side=0 runs end-to-end and its params
+    interchange with the default-transform model (the gather maps
+    original pixels through the pyramid's own shape, so the parameter
+    tree is resolution-independent)."""
+    from mvxnet_makise_tpu.models.mvxnet import MVXNetPM
+
+    B, P, V, T = 1, 64, 32, 8
+    pts = rng.normal(size=(B, P, 6)).astype(np.float32)
+    pts[..., 4] = rng.uniform(0, 60, (B, P))
+    pts[..., 5] = rng.uniform(0, 90, (B, P))
+    kept = np.ones((B, P), bool)
+    seg = np.sort(rng.integers(0, V, (B, P))).astype(np.int32)
+    counts = np.zeros((B, V), np.int32)
+    np.add.at(counts, (0, seg[0]), 1)
+    coords = np.stack([rng.integers(0, 16, (B, V)),
+                       rng.integers(0, 16, (B, V)),
+                       rng.integers(0, 10, (B, V))], -1).astype(np.int32)
+    vmask = counts > 0
+    images = rng.uniform(0, 1, (B, 64, 96, 3)).astype(np.float32)
+    common = dict(grid_shape=(16, 16, 10), image_size=(64, 96),
+                  samples_per_voxel=T)
+    native = MVXNetPM(image_min_side=0.0, **common)
+    params = native.init(jax.random.key(0), pts, kept, seg, counts,
+                         coords, vmask, images)
+    s, r = native.apply(params, pts, kept, seg, counts, coords, vmask,
+                        images)
+    assert s.shape == (B, 8, 8, 2) and r.shape == (B, 8, 8, 14)
+    assert np.isfinite(np.asarray(s)).all()
+    # same params apply under the reference transform
+    s2, _ = MVXNetPM(**common).apply(params, pts, kept, seg, counts,
+                                     coords, vmask, images)
+    assert s2.shape == s.shape
 
 
 # ---------------------------------------------------------------------------
