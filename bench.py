@@ -13,15 +13,37 @@ driver-set north star is 500 frames/s/chip end-to-end on TPU v5e, so
 
 Run: python bench.py [--batch N] [--iters N] [--lidar-only]
                      [--raw-only] [--train]
+
+Resilience (VERDICT r4 ask #3): the measurement runs in a supervised
+child.  Each stage (setup / compile / measure / serve) has its own
+SIGALRM budget so a wedged relay link is diagnosed by stage; measured
+numbers are flushed to a partials side-file the moment they exist; the
+supervisor retries a failed child once and, if the retry also dies,
+prints the newest salvaged partial instead of a 0.0 — one flaky link
+event can no longer erase the round's headline
+(utils/watchdog.py; mirrors __graft_entry__'s multichip hardening).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+
+def _metric_name(args) -> str:
+    if args.train:
+        return ("kitti_train_frames_per_sec_per_chip"
+                + ("_lidar_only" if args.lidar_only else ""))
+    if args.raw_only:
+        return ("kitti_frames_per_sec_per_chip_raw_forward"
+                + ("_lidar_only" if args.lidar_only else ""))
+    return ("kitti_frames_per_sec_per_chip_e2e_detection"
+            + ("_lidar_only" if args.lidar_only else ""))
 
 
 def main():
@@ -48,22 +70,30 @@ def main():
                          "transform min side; 0 = native scale, -1 = "
                          "keep the reference default 800)")
     ap.add_argument("--max-seconds", type=int, default=1500,
-                    help="watchdog: emit an error JSON instead of hanging "
-                         "forever if the device link wedges")
+                    help="hard cap per supervised attempt; stages also "
+                         "carry individual watchdog budgets")
+    ap.add_argument("--child", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: supervised child
     args = ap.parse_args()
 
-    import signal
+    from mvxnet_makise_tpu.utils.watchdog import (PartialWriter,
+                                                  StageWatchdog, supervise)
 
-    def _watchdog(signum, frame):
-        print(json.dumps({
-            "metric": "kitti_frames_per_sec_per_chip",
-            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
-            "error": f"watchdog: no result within {args.max_seconds}s "
-                     "(device link stalled)"}), flush=True)
-        raise SystemExit(2)
+    if not args.child:
+        cmd = ([sys.executable, os.path.abspath(__file__)]
+               + sys.argv[1:] + ["--child"])
+        rec = supervise(cmd, metric=_metric_name(args),
+                        attempt_timeout=args.max_seconds, retries=1)
+        print(json.dumps(rec), flush=True)
+        return 0 if rec.get("value", 0.0) > 0.0 else 2
 
-    signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(args.max_seconds)
+    partials = PartialWriter(os.environ.get("BENCH_PARTIALS"))
+    wd = StageWatchdog(
+        {"setup": 420, "compile_raw": 600, "measure_raw": 240,
+         "compile_train": 600, "measure_train": 300, "serve_setup": 300,
+         "serve_compile": 400, "serve_measure": 240},
+        metric=_metric_name(args))
+    wd.enter("setup")
 
     import jax
     import jax.numpy as jnp
@@ -146,16 +176,19 @@ def main():
             return float(jnp.sum(jax.tree.leaves(s.params)[0]
                                  .astype(jnp.float32).ravel()[:4]))
 
+        wd.enter("compile_train")
         for _ in range(args.warmup):
             tstate, m = tstep(tstate, points, num_points, images, gts,
                               gms, gcs, key)
             sync_t(tstate)
+        wd.enter("measure_train")
         t0 = time.perf_counter()
         for _ in range(args.iters):
             tstate, m = tstep(tstate, points, num_points, images, gts,
                               gms, gcs, key)
         sync_t(tstate)
         dt = time.perf_counter() - t0
+        wd.cancel()
         fps = args.batch * args.iters / dt
         print(json.dumps({
             "metric": "kitti_train_frames_per_sec_per_chip"
@@ -172,10 +205,12 @@ def main():
         # scalar back to the host (cheap: one f32)
         return float(jnp.sum(o[0][:, 0, 0, 0]))
 
+    wd.enter("compile_raw")
     for _ in range(args.warmup):
         out = step(points, num_points, images)
         sync(out)
 
+    wd.enter("measure_raw")
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = step(points, num_points, images)
@@ -184,15 +219,20 @@ def main():
     assert np.isfinite(checksum), "non-finite benchmark output"
 
     raw_fps = args.batch * args.iters / dt
+    raw_record = {
+        "metric": "kitti_frames_per_sec_per_chip_raw_forward"
+                  + ("_lidar_only" if args.lidar_only else ""),
+        "value": round(raw_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(raw_fps / 500.0, 4),
+    }
+    # the raw number exists NOW — flush it so a later serve-stage stall
+    # can only degrade the headline to this, never to 0.0
+    partials.emit(raw_record)
 
     if args.raw_only:
-        print(json.dumps({
-            "metric": "kitti_frames_per_sec_per_chip_raw_forward"
-                      + ("_lidar_only" if args.lidar_only else ""),
-            "value": round(raw_fps, 2),
-            "unit": "frames/s",
-            "vs_baseline": round(raw_fps / 500.0, 4),
-        }))
+        wd.cancel()
+        print(json.dumps(raw_record))
         return
 
     # ---- headline: full detection path through the PACKAGED serving
@@ -211,6 +251,7 @@ def main():
     from mvxnet_makise_tpu.data import native
     from mvxnet_makise_tpu.serve import Detector
 
+    wd.enter("serve_setup")
     det = Detector(cfg, model, init_params, with_images=with_images)
     rng2 = np.random.default_rng(1)
     raw_frames = []
@@ -239,14 +280,17 @@ def main():
             yield points, num_points, images, args.batch
 
     # warm: compile the serve pipeline + first readback
+    wd.enter("serve_compile")
     for _ in det.stream_batches(batches(2), args.batch):
         pass
 
+    wd.enter("serve_measure")
     t0 = time.perf_counter()
     last = None
     for d in det.stream_batches(batches(args.iters), args.batch):
         last = d
     dt = time.perf_counter() - t0
+    wd.cancel()
     # scores are sigmoid-bounded; boxes may overflow under random
     # init-weight deltas (exp of an untrained reg head) — not a timing
     # concern

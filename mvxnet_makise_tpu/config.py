@@ -186,8 +186,25 @@ class Config:
     # AP caveat: the frozen torchvision weights were trained at the
     # 800/1333 operating point, so non-default values change the image
     # features' scale statistics — a serving-economy knob, not a parity
-    # configuration.  Measured table in docs/DESIGN.md.
+    # configuration.  Non-default values use a content-correct
+    # pixel->feature-cell mapping (models/image_head.gather_image_size)
+    # so the growing pad-to-32 border never mis-registers points;
+    # values > 800 clamp to torchvision's fixed 1333 max-side cap.
+    # Measured speed/AP table in docs/DESIGN.md.
     image_min_side: float = 800.0
+
+    # RPN trunk shape — per-stage channels, per-stage extra 3x3 convs
+    # after the stride-2 down conv, and the deconv width feeding the
+    # 3*deconv concat (reference: (128, 128, 256) / (3, 5, 5) / 256,
+    # /root/reference/modules/voxelnet/Pipe.py:45-75).  The RPN is
+    # ~101 GFLOP/frame of the 600 issued (DESIGN.md ledger); smaller
+    # values are the "cheaper dense trunk" surgery route (north-star
+    # route #5) — they forfeit reference-checkpoint interchange for the
+    # RPN params and must re-earn AP on the generalization protocol.
+    # Measured speed/AP table in docs/DESIGN.md.
+    rpn_channels: Tuple[int, int, int] = (128, 128, 256)
+    rpn_extra: Tuple[int, int, int] = (3, 5, 5)
+    rpn_deconv_channels: int = 256
 
     # rematerialize the CML 3D-conv stack in backward (jax.checkpoint):
     # trades one extra forward for the ~720 MB/frame dense-grid
@@ -227,6 +244,12 @@ class Config:
             raise ValueError(
                 f"norm_scope={self.norm_scope!r} — must be 'sample' "
                 f"(reference batch-1 semantics) or 'batch'")
+        if not (len(self.rpn_channels) == len(self.rpn_extra) == 3):
+            raise ValueError("rpn_channels/rpn_extra must have 3 stages")
+        object.__setattr__(self, "rpn_channels",
+                           tuple(int(c) for c in self.rpn_channels))
+        object.__setattr__(self, "rpn_extra",
+                           tuple(int(c) for c in self.rpn_extra))
         vr, vs = self.velo_range, self.voxel_shape
         object.__setattr__(
             self, "voxel_size",
@@ -270,6 +293,12 @@ class Config:
     @property
     def num_classes(self) -> int:
         return len(self.target_classes)
+
+    @property
+    def rpn_trunk(self) -> Tuple:
+        """((ch1, ch2, ch3), (e1, e2, e3), deconv_ch) for the RPN."""
+        return (self.rpn_channels, self.rpn_extra,
+                int(self.rpn_deconv_channels))
 
     @property
     def anchors_per_loc(self) -> int:

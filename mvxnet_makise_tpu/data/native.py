@@ -164,3 +164,40 @@ def assemble_frame(points: np.ndarray, calib: Calib, velo_range,
     n = lib.assemble_frame(_fp(pts), len(pts), _fp(rect), _fp(proj),
                            _fp(rng6), _fp(ims), seed, capacity, _fp(out))
     return np.ascontiguousarray(out[:capacity]), int(n)
+
+
+def assemble_batch(frames, velo_range, image_size, capacity: int, B: int,
+                   pool=None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Assemble a batch of (points, calib, image-or-None) frames into
+    device-ready ``(B, capacity, 6) points / (B,) counts / (B, H, W, 3)
+    images`` arrays.
+
+    With ``pool`` (a ThreadPoolExecutor) frames assemble concurrently:
+    the ctypes call releases the GIL, the C++ kernel keeps no global
+    state, and each worker writes a disjoint batch row.  Serial and
+    pooled paths are bit-identical (fixed per-frame seed).  This is the
+    serve-time host feed (serve.Detector._assemble) and the
+    ``tools/bench_host.py --batch`` measurement surface."""
+    pts = np.zeros((B, capacity, 6), np.float32)
+    nums = np.zeros((B,), np.int32)
+    imgs = np.zeros((B, *image_size, 3), np.float32)
+
+    def one(i, points, calib, image):
+        buf, n = assemble_frame(points, calib, velo_range, image_size,
+                                capacity, seed=0)
+        pts[i], nums[i] = buf, n
+        if image is not None:
+            img = np.asarray(image, np.float32)
+            if img.max() > 1.5:
+                img = img / 255.0
+            h, w = image_size
+            imgs[i, :img.shape[0], :img.shape[1]] = img[:h, :w]
+
+    if pool is not None and len(frames) > 1:
+        # list() drains the iterator so worker exceptions re-raise
+        list(pool.map(lambda t: one(*t),
+                      [(i, *f) for i, f in enumerate(frames)]))
+    else:
+        for i, f in enumerate(frames):
+            one(i, *f)
+    return pts, nums, imgs

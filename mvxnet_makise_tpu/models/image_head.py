@@ -56,13 +56,16 @@ def _transform_scale(h: int, w: int, min_side: float) -> float:
     ``min_side <= 0`` selects *native scale* (no resize, pad only).  At
     the reference default (800/1333) the KITTI aspect ratio makes the
     max-side constraint bind: 370x1224 scales by 1333/1224 = 1.089 to
-    403x1333 — NOT by 800/370 = 2.16 (a common misreading; the
-    measured-pixels table in docs/DESIGN.md is the record)."""
+    402x1332 (int-floor sizing) — NOT by 800/370 = 2.16 (a common
+    misreading; the measured-pixels table in docs/DESIGN.md is the
+    record)."""
     if min_side <= 0:
         return 1.0
     # keep the torchvision min/max aspect cap proportional so sub-800
-    # settings shrink the long side too instead of re-binding at 1333
-    max_side = _MAX_SIZE * (min_side / _MIN_SIZE)
+    # settings shrink the long side too instead of re-binding at 1333;
+    # supra-800 keeps torchvision's FIXED 1333 cap (clamped, so e.g.
+    # min_side=1000 at KITTI aspect behaves exactly like 800)
+    max_side = _MAX_SIZE * min(min_side / _MIN_SIZE, 1.0)
     return min(min_side / min(h, w), max_side / max(h, w))
 
 
@@ -76,6 +79,27 @@ def transform_output_shape(image_size: Sequence[int],
     ph = int(math.ceil(rh / _PAD_STRIDE) * _PAD_STRIDE)
     pw = int(math.ceil(rw / _PAD_STRIDE) * _PAD_STRIDE)
     return (rh, rw), (ph, pw)
+
+
+def gather_image_size(image_size: Sequence[int],
+                      min_side: float = _MIN_SIZE) -> Tuple[float, float]:
+    """Effective (h, w) for mapping original pixels to feature cells.
+
+    The gather divides original-image pixels by ``im / Hf`` where Hf is
+    measured on the *padded* feature map.  At the reference operating
+    point (min_side == 800) we keep the reference's own convention of
+    using the raw image size (Pipe.py:41-45) — a faithful ~3% stretch
+    quirk.  At any other min_side (parity already forfeited) the pad
+    fraction grows (10.8% of rows at min_side=512), so we return the
+    content-correct effective size ``padded * original / resized``:
+    original pixel y then maps to feature row y * rh / (h * stride),
+    landing bottom/right points on the resized content instead of the
+    zero-padded border."""
+    h, w = image_size
+    if min_side == _MIN_SIZE:
+        return (float(h), float(w))
+    (rh, rw), (ph, pw) = transform_output_shape(image_size, min_side)
+    return (ph * h / rh, pw * w / rw)
 
 
 def detection_transform(image: jnp.ndarray,
@@ -155,7 +179,7 @@ class PointImageHead(nn.Module):
     ``gather_backend="auto"`` resolves to ``"raw4"`` — per-image 4-tap
     row gathers from the raw feature maps, no patch tables
     (ops/gather.bilinear_gather_fpn_batch; measured 20.2 vs 30.0 ms for
-    the stage, tools/probe_r4_head2.py).  ``"xla"`` keeps the vmapped
+    the stage, round-4 probe; harness now tools/probe.py).  ``"xla"`` keeps the vmapped
     patch-table gather (the r1-r3 default and the equivalence oracle).
     ``gather_backend="pallas"`` selects ops/pallas_gather's
     banded selector-matmul kernel: points are processed in
@@ -186,7 +210,7 @@ class PointImageHead(nn.Module):
         import jax
 
         # measured (v5e, batch 8): raw4 20.2 ms vs xla (vmapped patch
-        # tables) 30.0 for the gather stage (probe_r4_head2.py); pallas
+        # tables) 30.0 for the gather stage (round-4 probe); pallas
         # 88 vs xla 63 ms for the whole head — the banded kernel's
         # per-step MXU selector matmuls cost more than XLA's row-gather
         # engine at these shapes.  "xla_fused" (round 3) merges the two
@@ -195,6 +219,9 @@ class PointImageHead(nn.Module):
         backend = self.gather_backend
         if backend == "auto":
             backend = "raw4"
+        # content-correct pixel->cell mapping at non-default min_side
+        # (reference convention preserved at 800; see gather_image_size)
+        gsize = gather_image_size(self.image_size, self.image_min_side)
 
         x = jax.vmap(
             lambda im: detection_transform(im, self.image_min_side)
@@ -214,7 +241,7 @@ class PointImageHead(nn.Module):
                 fpn_gather_banded_diff)
 
             gathered, pos, padmask = fpn_gather_banded_diff(
-                tuple(pyramid), points_rc, point_mask, self.image_size,
+                tuple(pyramid), points_rc, point_mask, gsize,
                 self.eps, self.swapped_bilerp, 128,
                 jax.default_backend() != "tpu")
             fused, z = PointImageFusion(self.eps, name="fusion")(
@@ -230,14 +257,14 @@ class PointImageHead(nn.Module):
                 bilinear_gather_fpn_batch)
 
             gathered = bilinear_gather_fpn_batch(
-                tuple(pyramid), points_rc, point_mask, self.image_size,
+                tuple(pyramid), points_rc, point_mask, gsize,
                 eps=self.eps, swapped_weights=self.swapped_bilerp)
             return PointImageFusion(self.eps, name="fusion")(
                 gathered, point_mask, n_virtual)
 
         gathered = jax.vmap(
             lambda feats, rc, ok: bilinear_gather_fpn(
-                feats, rc, ok, self.image_size, eps=self.eps,
+                feats, rc, ok, gsize, eps=self.eps,
                 swapped_weights=self.swapped_bilerp,
                 fused_coarse=(backend == "xla_fused"))
         )(pyramid, points_rc, point_mask)
@@ -276,10 +303,12 @@ class ImageHead(nn.Module):
         pyramid = jax.tree_util.tree_map(jax.lax.stop_gradient, pyramid)
         # region sizes are measured on the *padded* feature maps while
         # projections live in original-image pixels — the reference does
-        # the same (Pipe.py:41-45), so keep its convention.
+        # the same (Pipe.py:41-45), so keep its convention at the
+        # default min_side; content-correct mapping otherwise.
+        gsize = gather_image_size(self.image_size, self.image_min_side)
         gathered = jax.vmap(
             lambda feats, rc, ok: bilinear_gather_fpn(
-                feats, rc, ok, self.image_size, eps=self.eps,
+                feats, rc, ok, gsize, eps=self.eps,
                 swapped_weights=self.swapped_bilerp)
         )(pyramid, points_rc, point_valid)
         # (B, V, T, 768)

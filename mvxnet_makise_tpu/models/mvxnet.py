@@ -24,9 +24,11 @@ from mvxnet_makise_tpu.models.image_head import (
     ImageHead,
     PointImageHead,
     detection_transform,
+    gather_image_size,
 )
 from mvxnet_makise_tpu.models.resnet_fpn import ResNet50FPN
 from mvxnet_makise_tpu.models.voxelnet import (
+    REFERENCE_RPN_TRUNK,
     RPN,
     SVFE,
     MiddleConvLayers,
@@ -45,6 +47,7 @@ class MVXNet(nn.Module):
     swapped_bilerp: bool = False
     remat: bool = False
     image_min_side: float = 800.0
+    rpn_trunk: Tuple = REFERENCE_RPN_TRUNK
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -68,7 +71,8 @@ class MVXNet(nn.Module):
         fused = jnp.concatenate([voxels[..., :7], imfeat], axis=-1)
         return VoxelNetBranch(
             self.grid_shape, self.anchors_per_loc, self.box_dim, self.eps,
-            self.remat, name="backbone")(fused, coords, mask)
+            self.remat, rpn_trunk=self.rpn_trunk,
+            name="backbone")(fused, coords, mask)
 
 
 class MVXNetPointFusion(nn.Module):
@@ -90,6 +94,7 @@ class MVXNetPointFusion(nn.Module):
     remat: bool = False
     gather_backend: str = "auto"
     image_min_side: float = 800.0
+    rpn_trunk: Tuple = REFERENCE_RPN_TRUNK
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -130,7 +135,8 @@ class MVXNetPointFusion(nn.Module):
         fused = jnp.concatenate([voxels[..., :7], imfeat], axis=-1)
         return VoxelNetBranch(
             self.grid_shape, self.anchors_per_loc, self.box_dim, self.eps,
-            self.remat, name="backbone")(fused, coords, mask)
+            self.remat, rpn_trunk=self.rpn_trunk,
+            name="backbone")(fused, coords, mask)
 
 
 class MVXNetVoxelFusion(nn.Module):
@@ -152,6 +158,7 @@ class MVXNetVoxelFusion(nn.Module):
     eps: float = 1e-6
     voxel_image_dim: int = 32
     image_min_side: float = 800.0
+    rpn_trunk: Tuple = REFERENCE_RPN_TRUNK
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -177,9 +184,10 @@ class MVXNetVoxelFusion(nn.Module):
             lambda im: detection_transform(im, self.image_min_side)
         )(images)
         pyramid = ResNet50FPN(name="extractor")(timg)
+        gsize = gather_image_size(self.image_size, self.image_min_side)
         gathered = jax.vmap(
             lambda feats, r, ok: bilinear_gather_fpn(
-                feats, r, ok, self.image_size, eps=self.eps)
+                feats, r, ok, gsize, eps=self.eps)
         )(pyramid, rc, mask)                               # (B, V, 768)
         imf = DenseReluNorm(128, self.eps, name="imfuse1")(gathered, mask)
         imf = DenseReluNorm(self.voxel_image_dim, self.eps,
@@ -196,7 +204,7 @@ class MVXNetVoxelFusion(nn.Module):
         Bd, D, H, W, C = y.shape
         y = jnp.transpose(y, (0, 2, 3, 4, 1)).reshape(Bd, H, W, C * D)
         return RPN(self.anchors_per_loc, self.box_dim, self.eps,
-                   name="rpn")(y)
+                   self.rpn_trunk, name="rpn")(y)
 
 
 class MVXNetPM(nn.Module):
@@ -222,6 +230,7 @@ class MVXNetPM(nn.Module):
     gather_backend: str = "auto"
     cml_mode: str = "dense3d"
     image_min_side: float = 800.0
+    rpn_trunk: Tuple = REFERENCE_RPN_TRUNK
 
     @nn.compact
     def __call__(self, sorted_points: jnp.ndarray,
@@ -262,5 +271,6 @@ class MVXNetPM(nn.Module):
             self.grid_shape, self.anchors_per_loc, self.box_dim,
             self.eps, self.samples_per_voxel, self.remat,
             self.scatter_backend, self.cml_mode,
+            rpn_trunk=self.rpn_trunk,
             name="backbone")(x, sorted_kept, sorted_seg, counts, coords,
                              vmask, z0)

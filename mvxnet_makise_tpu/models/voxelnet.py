@@ -474,7 +474,7 @@ class MiddleConvLayersColumn(nn.Module):
     """CML with the column-compacted first layer
     (:class:`ColumnConv1ReluNorm`); conv2/conv3 stay dense 3D (their
     input is 4x smaller and BEV occupancy dilates past useful sparsity:
-    measured on KITTI-shaped frames — tools/probe_r4.py — conv1's 3x3
+    measured on KITTI-shaped frames — tools/probe.py occupancy — conv1's 3x3
     dilation takes the 7.5% active-column footprint to 37.6%, conv2's
     to 52.3%, so compacting ~53k columns would pay ~5x conv1's merge
     cost for <2.7x fewer MACs against a banded form already at
@@ -510,16 +510,30 @@ class MiddleConvLayersColumn(nn.Module):
         return x
 
 
+# reference RPN shape (Pipe.py:45-75): stage channels, extra convs per
+# stage, deconv width — the parity default for every model class
+REFERENCE_RPN_TRUNK = ((128, 128, 256), (3, 5, 5), 256)
+
+
 class RPN(nn.Module):
     """Region proposal network: 3 stride-2 conv stages, 3 deconvs back to
-    full resolution, concat 768ch, 1x1 cls/reg heads (Pipe.py:45-75)."""
+    full resolution, concat 3*deconv_ch, 1x1 cls/reg heads
+    (Pipe.py:45-75).
+
+    ``trunk`` = ((ch1, ch2, ch3), (extra1, extra2, extra3), deconv_ch);
+    the default is the reference shape (768-ch concat).  Narrower values
+    are the measured "cheaper dense trunk" route (Config.rpn_channels,
+    DESIGN.md north-star route #5) — parameter names are unchanged so
+    reference-checkpoint interchange still works at the default."""
     anchors_per_loc: int = 2
     box_dim: int = 7
     eps: float = 1e-6
+    trunk: Tuple = REFERENCE_RPN_TRUNK
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         p = ((1, 1), (1, 1))
+        (ch1, ch2, ch3), (e1, e2, e3), dch = self.trunk
 
         def block(x, ch, n_extra, name):
             x = ConvReluNorm(ch, (3, 3), (2, 2), p, self.eps,
@@ -529,17 +543,17 @@ class RPN(nn.Module):
                                  name=f"{name}_conv{i}")(x)
             return x
 
-        x1 = block(x, 128, 3, "blk1")     # (176, 200, 128)
-        x2 = block(x1, 128, 5, "blk2")    # (88, 100, 128)
-        x3 = block(x2, 256, 5, "blk3")    # (44, 50, 256)
+        x1 = block(x, ch1, e1, "blk1")    # (176, 200, ch1)
+        x2 = block(x1, ch2, e2, "blk2")   # (88, 100, ch2)
+        x3 = block(x2, ch3, e3, "blk3")   # (44, 50, ch3)
 
-        d1 = DeconvReluNorm(256, (3, 3), (1, 1), "SAME", self.eps,
+        d1 = DeconvReluNorm(dch, (3, 3), (1, 1), "SAME", self.eps,
                             name="deconv1")(x1)
-        d2 = DeconvReluNorm(256, (2, 2), (2, 2), "VALID", self.eps,
+        d2 = DeconvReluNorm(dch, (2, 2), (2, 2), "VALID", self.eps,
                             name="deconv2")(x2)
-        d3 = DeconvReluNorm(256, (4, 4), (4, 4), "VALID", self.eps,
+        d3 = DeconvReluNorm(dch, (4, 4), (4, 4), "VALID", self.eps,
                             name="deconv3")(x3)
-        feat = jnp.concatenate([d1, d2, d3], axis=-1)   # (176, 200, 768)
+        feat = jnp.concatenate([d1, d2, d3], axis=-1)  # (176, 200, 3*dch)
 
         init = nn.initializers.xavier_uniform()
         score = nn.Conv(self.anchors_per_loc, (1, 1), kernel_init=init,
@@ -568,6 +582,7 @@ class VoxelNetBranch(nn.Module):
     remat: bool = False
     scatter_backend: str = "auto"  # "auto" | "xla" | "pallas"
     cml_mode: str = "dense3d"      # "dense3d" | "banded" | "column"
+    rpn_trunk: Tuple = REFERENCE_RPN_TRUNK
 
     @nn.compact
     def __call__(self, voxels: jnp.ndarray, coords: jnp.ndarray,
@@ -592,7 +607,7 @@ class VoxelNetBranch(nn.Module):
             # (C, D) torch flattening order, from the d-minor layout
             x = jnp.transpose(x, (0, 1, 2, 4, 3)).reshape(B, H, W, C * D)
             return RPN(self.anchors_per_loc, self.box_dim, self.eps,
-                       name="rpn")(x)
+                       self.rpn_trunk, name="rpn")(x)
         elif self.cml_mode == "banded":
             cml_cls = nn.remat(MiddleConvLayersBanded) if self.remat \
                 else MiddleConvLayersBanded
@@ -613,4 +628,4 @@ class VoxelNetBranch(nn.Module):
         # reference RPN weights import 1:1
         x = jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(B, H, W, C * D)
         return RPN(self.anchors_per_loc, self.box_dim, self.eps,
-                   name="rpn")(x)
+                   self.rpn_trunk, name="rpn")(x)

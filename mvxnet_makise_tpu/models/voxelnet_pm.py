@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from mvxnet_makise_tpu.models.blocks import DenseReluNormVirtualWeighted
-from mvxnet_makise_tpu.models.voxelnet import MiddleConvLayers, RPN
+from mvxnet_makise_tpu.models.voxelnet import (REFERENCE_RPN_TRUNK,
+                                               MiddleConvLayers, RPN)
 from mvxnet_makise_tpu.ops.scatter import scatter_voxels_to_grid
 
 _NEG = -1e30
@@ -124,6 +125,7 @@ class VoxelNetBranchPM(nn.Module):
     remat: bool = False
     scatter_backend: str = "auto"  # "auto" | "xla" | "pallas"
     cml_mode: str = "dense3d"      # "dense3d" | "banded"
+    rpn_trunk: Tuple = REFERENCE_RPN_TRUNK
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, kept: jnp.ndarray,
@@ -167,7 +169,7 @@ class VoxelNetBranchPM(nn.Module):
             # (C, D) torch flattening order, from the d-minor layout
             y = jnp.transpose(y, (0, 1, 2, 4, 3)).reshape(Bd, H, W, C * D)
             return RPN(self.anchors_per_loc, self.box_dim, self.eps,
-                       name="rpn")(y)
+                       self.rpn_trunk, name="rpn")(y)
         elif self.cml_mode == "banded":
             cml_cls = nn.remat(MiddleConvLayersBanded) if self.remat \
                 else MiddleConvLayersBanded
@@ -184,4 +186,4 @@ class VoxelNetBranchPM(nn.Module):
         Bd, D, H, W, C = y.shape
         y = jnp.transpose(y, (0, 2, 3, 4, 1)).reshape(Bd, H, W, C * D)
         return RPN(self.anchors_per_loc, self.box_dim, self.eps,
-                   name="rpn")(y)
+                   self.rpn_trunk, name="rpn")(y)

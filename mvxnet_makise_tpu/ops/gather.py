@@ -200,7 +200,7 @@ def bilinear_gather_fpn_batch(features: Sequence[jnp.ndarray],
                               ) -> jnp.ndarray:
     """Batched FPN gather: per-image 4-tap row gathers, NO patch tables.
 
-    The round-4 winner (tools/probe_r4_head2.py, relayed v5e, batch 8):
+    The round-4 winner (round-4 probe, relayed v5e; harness now tools/probe.py, batch 8):
     20.2 ms vs 30.0 for the vmapped patch-table formulation — exact to
     the bit.  Why it wins now: after round 3 shrank max_points to 24576
     the per-level tables are small (<=35k rows) and XLA's TPU gather
@@ -209,7 +209,7 @@ def bilinear_gather_fpn_batch(features: Sequence[jnp.ndarray],
     the 10.4 ms patch-table build (4x write amplification) it requires.
     vmap is avoided because XLA lowers the batched gather ~1.7x slower
     than a python-unrolled loop of per-image small-table gathers
-    (probe_r4_head.py: 23.0 vs 13.4 ms for the patch variant).
+    (round-4 probe: 23.0 vs 13.4 ms for the patch variant).
 
     Exact for both weight conventions (r1/c1 use explicit min-clamping,
     no floor-identity argument needed).  Reference semantics:

@@ -22,6 +22,12 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--points", type=int, default=120000,
                    help="raw scan size (KITTI full scans are ~120k)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="also bench the batch-N serve-time assemble, "
+                        "serial vs thread-pooled (0 = skip)")
+    p.add_argument("--busy", type=int, default=0,
+                   help="spawn N CPU-burner threads during the batch "
+                        "bench to emulate a contended host")
     args = p.parse_args(argv)
 
     from mvxnet_makise_tpu.config import Config
@@ -61,7 +67,65 @@ def main(argv=None):
     print(json.dumps({"bench": "crop_project_numpy",
                       "ms": round(dt * 1e3, 3),
                       "Mpts_per_s": round(args.points / dt / 1e6, 1)}))
+
+    if args.batch:
+        _bench_batch_assemble(args, cfg, calib, pts)
     return 0
+
+
+def _bench_batch_assemble(args, cfg, calib, pts):
+    """Batch-8 serve-time host feed: serial vs thread-pooled
+    (VERDICT r4 ask #7).  --busy spawns CPU-burner threads to emulate
+    the contended host the round-4 review measured (71 ms/batch serial
+    vs the builder's idle-host 14)."""
+    import os
+    import threading
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mvxnet_makise_tpu.data import native
+
+    rng = np.random.default_rng(1)
+    image = rng.uniform(0, 255, (*cfg.image_size, 3)).astype(np.float32)
+    frames = [(pts, calib, image) for _ in range(args.batch)]
+
+    stop = threading.Event()
+    burners = []
+    if args.busy:
+        def burn():
+            x = np.random.default_rng(2).random((512, 512))
+            while not stop.is_set():
+                x = x @ x * 1e-3
+        burners = [threading.Thread(target=burn, daemon=True)
+                   for _ in range(args.busy)]
+        for b in burners:
+            b.start()
+
+    def timeit(fn, iters):
+        fn()
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            fn()
+        return (_time.perf_counter() - t0) / iters
+
+    try:
+        serial = timeit(lambda: native.assemble_batch(
+            frames, cfg.velo_range, cfg.image_size, cfg.max_points,
+            args.batch), args.iters)
+        with ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 1)) as pool:
+            pooled = timeit(lambda: native.assemble_batch(
+                frames, cfg.velo_range, cfg.image_size, cfg.max_points,
+                args.batch, pool=pool), args.iters)
+    finally:
+        stop.set()
+    print(json.dumps({
+        "bench": "assemble_batch",
+        "batch": args.batch,
+        "busy_threads": args.busy,
+        "serial_ms": round(serial * 1e3, 2),
+        "pooled_ms": round(pooled * 1e3, 2),
+        "speedup": round(serial / pooled, 2)}))
 
 
 if __name__ == "__main__":

@@ -32,7 +32,7 @@ def main(argv=None):
     p.add_argument("--active-cols", type=int, default=10_500,
                    help="active BEV columns per frame for the isolated "
                         "merge probe (KITTI-shaped measurement: 10.5k, "
-                        "tools/probe_r4.py)")
+                        "tools/probe.py occupancy)")
     args = p.parse_args(argv)
     B = args.batch
 

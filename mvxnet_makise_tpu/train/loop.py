@@ -122,7 +122,8 @@ def build_model_and_state(cfg: Config, with_images: bool,
         kw = dict(grid_shape=cfg.voxel_shape,
                   image_size=cfg.image_size,
                   anchors_per_loc=cfg.anchors_per_loc,
-                  image_min_side=cfg.image_min_side)
+                  image_min_side=cfg.image_min_side,
+                  rpn_trunk=cfg.rpn_trunk)
         if cfg.fusion_mode != "voxel":
             kw.update(swapped_bilerp=cfg.compat_swapped_bilerp,
                       remat=cfg.remat)
@@ -141,13 +142,15 @@ def build_model_and_state(cfg: Config, with_images: bool,
                                  samples_per_voxel=cfg.samples_per_voxel,
                                  remat=cfg.remat,
                                  scatter_backend=cfg.scatter_backend,
-                                 cml_mode=cfg.cml_mode)
+                                 cml_mode=cfg.cml_mode,
+                                 rpn_trunk=cfg.rpn_trunk)
     else:
         model = VoxelNetBranch(grid_shape=cfg.voxel_shape,
                                anchors_per_loc=cfg.anchors_per_loc,
                                remat=cfg.remat,
                                scatter_backend=cfg.scatter_backend,
-                               cml_mode=cfg.cml_mode)
+                               cml_mode=cfg.cml_mode,
+                               rpn_trunk=cfg.rpn_trunk)
 
     V, T = cfg.max_voxels, cfg.samples_per_voxel
     dummy_vox = jnp.zeros((1, V, T, 9 if with_images else 7))

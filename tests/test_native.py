@@ -82,3 +82,23 @@ def test_assemble_frame_truncates_at_capacity(rng):
     assert n == cap
     assert buf.shape == (cap, 6)
     assert np.all(buf[:, 0] >= 0)
+
+
+def test_assemble_batch_pooled_matches_serial(rng):
+    """The serve-time thread-pooled batch assemble must be bit-identical
+    to the serial path (fixed per-frame seed, disjoint row writes)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    calib = toy_calib(CFG.image_size)
+    image = rng.uniform(0, 255, (*CFG.image_size, 3)).astype(np.float32)
+    frames = [(make_cloud(rng, 4000), calib, image) for _ in range(5)]
+    B = 8  # pad rows 5..7 stay zero
+    serial = native.assemble_batch(frames, CFG.velo_range,
+                                   CFG.image_size, CFG.max_points, B)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        pooled = native.assemble_batch(frames, CFG.velo_range,
+                                       CFG.image_size, CFG.max_points, B,
+                                       pool=pool)
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a, b)
+    assert serial[1][:5].min() > 0 and serial[1][5:].max() == 0
