@@ -69,6 +69,14 @@ def main():
                     help="override Config.image_min_side (torchvision "
                          "transform min side; 0 = native scale, -1 = "
                          "keep the reference default 800)")
+    ap.add_argument("--fusion-stats", default="",
+                    choices=["", "masked", "full"],
+                    help="override Config.fusion_stats (fusion-MLP "
+                         "statistics formulation A/B)")
+    ap.add_argument("--rpn", default="",
+                    help="override the RPN trunk with a named variant "
+                         "from tools/probe.RPN_VARIANTS (cheaper-trunk "
+                         "A/B; non-default forfeits checkpoint parity)")
     ap.add_argument("--max-seconds", type=int, default=1500,
                     help="hard cap per supervised attempt; stages also "
                          "carry individual watchdog budgets")
@@ -110,13 +118,23 @@ def main():
     from mvxnet_makise_tpu.train.state import cast_for_compute
     from mvxnet_makise_tpu.train.step import frames_to_batch
 
+    rpn_kw = {}
+    if args.rpn:
+        from mvxnet_makise_tpu.tools.probe import RPN_VARIANTS
+
+        ch, ex, dc = RPN_VARIANTS[args.rpn]
+        rpn_kw = dict(rpn_channels=ch, rpn_extra=ex,
+                      rpn_deconv_channels=dc)
     cfg = Config(use_bf16=True, batch_size=args.batch,
                  **({"max_points": args.max_points}
                     if args.max_points else {}),
                  **({"norm_scope": args.norm_scope}
                     if args.norm_scope else {}),
                  **({"image_min_side": args.image_min_side}
-                    if args.image_min_side >= 0 else {}))
+                    if args.image_min_side >= 0 else {}),
+                 **({"fusion_stats": args.fusion_stats}
+                    if args.fusion_stats else {}),
+                 **rpn_kw)
     rng = np.random.default_rng(0)
 
     # host-side: synthesize + pad a batch of KITTI-like frames

@@ -177,6 +177,13 @@ class Config:
     # docs/DESIGN.md.
     gather_backend: str = "auto"
 
+    # fusion-MLP statistics formulation: "masked" (per-layer masked
+    # sums) | "full" (plain full-population reductions + analytic
+    # virtual-row correction, models/blocks.DenseReluNormVirtualFull —
+    # exact under the stack's zero-invalid-rows invariant) | "auto"
+    # (resolved by measurement in models/image_head.PointImageHead).
+    fusion_stats: str = "auto"
+
     # detection-transform min side (torchvision GeneralizedRCNNTransform;
     # the reference inherits 800/1333 from FasterRCNN — imhead/Pipe.py:18).
     # NOTE the max-side cap BINDS at KITTI aspect: 370x1224 scales by
@@ -240,6 +247,10 @@ class Config:
         # typos like 'Sample' would otherwise fall through make_apply's
         # == 'sample' check and silently run batch-scope statistics,
         # corrupting any per-sample-semantics A/B (ADVICE r3).
+        if self.fusion_stats not in ("auto", "masked", "full"):
+            raise ValueError(
+                f"fusion_stats={self.fusion_stats!r} — must be 'auto', "
+                f"'masked' or 'full'")
         if self.norm_scope not in ("sample", "batch"):
             raise ValueError(
                 f"norm_scope={self.norm_scope!r} — must be 'sample' "

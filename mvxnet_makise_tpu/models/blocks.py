@@ -23,6 +23,7 @@ from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 
 def standardize(x: jnp.ndarray, eps: float = 1e-6,
@@ -114,6 +115,49 @@ class DenseReluNormVirtual(nn.Module):
               + n_virtual * jnp.square(hz)) / n_tot
         var = jnp.maximum(sq - jnp.square(mean), 0.0)
         inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return (h - mean) * inv, (hz - mean) * inv
+
+
+class DenseReluNormVirtualFull(nn.Module):
+    """:class:`DenseReluNormVirtual` with full-population reductions.
+
+    Caller invariant (exploited, not checked): every masked-out row of
+    ``x`` is value-identical to the virtual row ``z`` — true for the
+    image-fusion stack, where invalid gather rows and ``z`` both start
+    as exact zeros and afterwards receive the same affine normalization
+    of the same Dense+ReLU output.  The masked sums can then be computed
+    as PLAIN reductions over all rows plus an analytic correction of
+    ``n_virtual - n_masked`` copies of z's activation, removing the
+    ``h*m`` / ``h^2*m`` masked temporaries (two extra full-size
+    elementwise passes per layer) and letting XLA fuse bare sum
+    reductions into the matmul epilogue.  Statistics accumulate in f32.
+    """
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 z: jnp.ndarray, n_virtual: jnp.ndarray):
+        """Same signature/semantics as DenseReluNormVirtual (under the
+        caller invariant above)."""
+        d = nn.Dense(self.features, name="fc")
+        h = nn.relu(d(x))
+        hz = nn.relu(d(z))
+
+        f32 = jnp.float32
+        n_real = jnp.sum(mask.astype(f32))
+        n_rows = f32(1) * int(np.prod(mask.shape))
+        corr = n_virtual.astype(f32) - (n_rows - n_real)  # +- z copies
+        n_tot = n_real + n_virtual.astype(f32)
+        axes = tuple(range(h.ndim - 1))
+        hzf = hz.astype(f32)
+        mean = (jnp.sum(h, axis=axes, dtype=f32) + corr * hzf) / n_tot
+        sq = (jnp.sum(jnp.square(h), axis=axes, dtype=f32)
+              + corr * jnp.square(hzf)) / n_tot
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps))
+        mean = mean.astype(h.dtype)
+        inv = inv.astype(h.dtype)
         return (h - mean) * inv, (hz - mean) * inv
 
 

@@ -38,6 +38,7 @@ import numpy as np
 from mvxnet_makise_tpu.models.blocks import (
     DenseReluNorm,
     DenseReluNormVirtual,
+    DenseReluNormVirtualFull,
 )
 from mvxnet_makise_tpu.models.resnet_fpn import ResNet50FPN
 from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn
@@ -152,6 +153,11 @@ class PointImageFusion(nn.Module):
     ImageFeatureFusion so reference-checkpoint import works unchanged.
     """
     eps: float = 1e-6
+    # "masked" = per-layer masked sums (the r1-r4 formulation); "full" =
+    # plain full-population reductions + analytic z correction
+    # (DenseReluNormVirtualFull) — exact under this stack's invariant
+    # that invalid rows are value-identical to z (both start as zeros)
+    stats: str = "masked"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -159,10 +165,12 @@ class PointImageFusion(nn.Module):
         """x: (..., P, 768); mask: (..., P); n_virtual: () count of empty
         sample slots.  Returns ((..., P, 16) point features,
         (16,) empty-slot feature)."""
+        blk = (DenseReluNormVirtualFull if self.stats == "full"
+               else DenseReluNormVirtual)
         z = jnp.zeros((x.shape[-1],), x.dtype)
         for name, width in [("fcn1", 768), ("conv1", 128),
                             ("fcn2", 128), ("conv2", 16), ("fcn3", 16)]:
-            x, z = DenseReluNormVirtual(width, self.eps, name=name)(
+            x, z = blk(width, self.eps, name=name)(
                 x, mask, z, n_virtual)
         return x, z
 
@@ -199,6 +207,8 @@ class PointImageHead(nn.Module):
     # cells through the pyramid's own (Hf, Wf), so every backend adapts
     # to the resolution automatically.  AP caveat in Config.
     image_min_side: float = _MIN_SIZE
+    # fusion-MLP statistics formulation: "auto" | "masked" | "full"
+    fusion_stats: str = "auto"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, points_rc: jnp.ndarray,
@@ -219,6 +229,9 @@ class PointImageHead(nn.Module):
         backend = self.gather_backend
         if backend == "auto":
             backend = "raw4"
+        fstats = self.fusion_stats
+        if fstats == "auto":
+            fstats = "masked"
         # content-correct pixel->cell mapping at non-default min_side
         # (reference convention preserved at 800; see gather_image_size)
         gsize = gather_image_size(self.image_size, self.image_min_side)
@@ -244,7 +257,7 @@ class PointImageHead(nn.Module):
                 tuple(pyramid), points_rc, point_mask, gsize,
                 self.eps, self.swapped_bilerp, 128,
                 jax.default_backend() != "tpu")
-            fused, z = PointImageFusion(self.eps, name="fusion")(
+            fused, z = PointImageFusion(self.eps, fstats, name="fusion")(
                 gathered, padmask, n_virtual)
             return jnp.take_along_axis(fused, pos[..., None], axis=1), z
 
@@ -259,7 +272,7 @@ class PointImageHead(nn.Module):
             gathered = bilinear_gather_fpn_batch(
                 tuple(pyramid), points_rc, point_mask, gsize,
                 eps=self.eps, swapped_weights=self.swapped_bilerp)
-            return PointImageFusion(self.eps, name="fusion")(
+            return PointImageFusion(self.eps, fstats, name="fusion")(
                 gathered, point_mask, n_virtual)
 
         gathered = jax.vmap(
@@ -268,7 +281,7 @@ class PointImageHead(nn.Module):
                 swapped_weights=self.swapped_bilerp,
                 fused_coarse=(backend == "xla_fused"))
         )(pyramid, points_rc, point_mask)
-        return PointImageFusion(self.eps, name="fusion")(
+        return PointImageFusion(self.eps, fstats, name="fusion")(
             gathered, point_mask, n_virtual)
 
 

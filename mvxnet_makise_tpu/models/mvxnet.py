@@ -94,6 +94,7 @@ class MVXNetPointFusion(nn.Module):
     remat: bool = False
     gather_backend: str = "auto"
     image_min_side: float = 800.0
+    fusion_stats: str = "auto"
     rpn_trunk: Tuple = REFERENCE_RPN_TRUNK
 
     @nn.compact
@@ -116,6 +117,7 @@ class MVXNetPointFusion(nn.Module):
             self.image_size, self.eps, self.swapped_bilerp,
             self.gather_backend,
             image_min_side=self.image_min_side,
+            fusion_stats=self.fusion_stats,
             name="head")(images, points[..., 4:6], kept, n_virtual)
         # (B, P, 16), (16,)
 
@@ -230,6 +232,7 @@ class MVXNetPM(nn.Module):
     gather_backend: str = "auto"
     cml_mode: str = "dense3d"
     image_min_side: float = 800.0
+    fusion_stats: str = "auto"
     rpn_trunk: Tuple = REFERENCE_RPN_TRUNK
 
     @nn.compact
@@ -255,6 +258,7 @@ class MVXNetPM(nn.Module):
             self.image_size, self.eps, self.swapped_bilerp,
             self.gather_backend,
             image_min_side=self.image_min_side,
+            fusion_stats=self.fusion_stats,
             name="head")(images, sorted_points[..., 4:6], sorted_kept,
                          n_virtual)
 

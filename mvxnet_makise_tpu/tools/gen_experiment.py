@@ -32,11 +32,28 @@ from mvxnet_makise_tpu.utils.compile_cache import enable_persistent_cache
 
 
 def make_config(loss_mode: str, lr: float, batch_size: int,
-                world: int = 64, classes: int = 1):
+                world: int = 64, classes: int = 1,
+                image_min_side: float | None = None,
+                rpn: str | None = None):
     from mvxnet_makise_tpu.config import Config
 
     target = ("Car", "Pedestrian", "Cyclist")[:classes] \
         if classes > 1 else ("Car",)
+
+    extra = {}
+    if image_min_side is not None:
+        # NOTE toy-world equivalence: at KITTI aspect (370x1224) the
+        # 1333 MAX-side cap binds, so KITTI min_side ms produces scale
+        # ms/734.6; at the toy 64x96 aspect the MIN side binds, so the
+        # same scale needs toy min_side = 64 * ms/734.6 (e.g. KITTI
+        # 512 -> toy 45).  Callers pass the TOY value directly.
+        extra["image_min_side"] = image_min_side
+    if rpn is not None:
+        from mvxnet_makise_tpu.tools.probe import RPN_VARIANTS
+
+        ch, ex, dc = RPN_VARIANTS[rpn]
+        extra.update(rpn_channels=ch, rpn_extra=ex,
+                     rpn_deconv_channels=dc)
 
     # A KITTI-like anchor stride (0.4 x 0.5 m) in a small world: coarser
     # strides were measured to starve mid-cell GTs of IoU>=0.6 anchors
@@ -53,7 +70,7 @@ def make_config(loss_mode: str, lr: float, batch_size: int,
         batch_size=batch_size, learning_rate=lr, num_epochs=1,
         cls_loss_mode=loss_mode,
         target_classes=target,
-        fusion_mode="pm")
+        fusion_mode="pm", **extra)
 
 
 def make_frame(i: int, gen: np.random.Generator, cfg):
@@ -83,10 +100,21 @@ def make_frame(i: int, gen: np.random.Generator, cfg):
 def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
         lr: float, batch_size: int, n_val: int = 32,
         log_every: int = 1000, ap_floor: float | None = None,
-        world: int = 64, classes: int = 1) -> dict:
+        world: int = 64, classes: int = 1,
+        with_images: bool = False,
+        image_min_side: float | None = None,
+        rpn: str | None = None,
+        record: str | None = None) -> dict:
     """Train `steps` fused steps on a `pool_size`-frame pool; report
     held-out AP every `eval_every` steps.  Returns the last eval dict
-    {iou_thr: {"ap": ..., "recall": ...}}."""
+    {iou_thr: {"ap": ..., "recall": ...}}.
+
+    ``with_images`` trains the full fused model (random-init frozen
+    extractor — no pretrained weights flow in this environment, so this
+    measures the *pipeline*, incl. the resolution-dependent gather
+    registration, not ImageNet-feature quality).  ``record`` appends the
+    final eval + settings as one JSON line (the self-reproducing
+    protocol artifact, GEN_PROTOCOL.jsonl at the repo root)."""
     import jax
 
     from mvxnet_makise_tpu.eval.runner import run_eval
@@ -95,11 +123,12 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
                                               make_full_train_step,
                                               preprocess_train_frame)
 
-    cfg = make_config(loss_mode, lr, batch_size, world, classes)
+    cfg = make_config(loss_mode, lr, batch_size, world, classes,
+                      image_min_side, rpn)
     anchors = create_anchors(cfg.feature_map_shape, cfg.velo_range,
                              cfg.anchor_sizes)
-    model, state = build_model_and_state(cfg, with_images=False)
-    step = make_full_train_step(cfg, anchors, with_images=False)
+    model, state = build_model_and_state(cfg, with_images=with_images)
+    step = make_full_train_step(cfg, anchors, with_images=with_images)
     key = jax.random.key(0)
     rng = np.random.default_rng(1)
     B = cfg.batch_size
@@ -136,7 +165,7 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
         if (it + 1) % eval_every == 0 or it + 1 == steps:
             last = {}
             for thr in (0.7, 0.5):
-                res = run_eval(cfg, val, state.params, model, False,
+                res = run_eval(cfg, val, state.params, model, with_images,
                                iou_threshold=thr)
                 r = res["Car"]["all"]
                 last[thr] = {"ap": r["ap"], "recall": r["recall"]}
@@ -151,6 +180,22 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
             if ap_floor is not None and last[0.5]["ap"] >= ap_floor:
                 print(f"ap floor {ap_floor} reached, stopping", flush=True)
                 break
+    if record and last:
+        import json
+
+        with open(record, "a") as f:
+            f.write(json.dumps({
+                "protocol": "gen_experiment",
+                "steps": it + 1, "pool": pool_size, "batch": batch_size,
+                "world": world, "classes": classes, "loss": loss_mode,
+                "with_images": with_images,
+                "image_min_side": image_min_side, "rpn": rpn,
+                "elapsed_s": round(time.time() - t0, 1),
+                "backend": jax.default_backend(),
+                "ap50": last[0.5]["ap"], "recall50": last[0.5]["recall"],
+                "ap70": last[0.7]["ap"],
+                "per_class": last.get("per_class", {}).get(0.5, {}),
+            }) + "\n")
     return last
 
 
@@ -169,11 +214,27 @@ def main() -> int:
                    help="BEV grid size (64 = KITTI-like stride; 32 = CPU-scale)")
     p.add_argument("--classes", type=int, default=1, choices=(1, 2, 3),
                    help="1 = Car only; 3 = Car/Pedestrian/Cyclist")
+    p.add_argument("--with-images", action="store_true",
+                   help="train the full fused model (random-init frozen "
+                        "extractor) instead of lidar-only")
+    p.add_argument("--image-min-side", type=float, default=None,
+                   help="toy-world transform min side (KITTI ms maps to "
+                        "toy 64*ms/734.6; see make_config)")
+    p.add_argument("--rpn", default=None,
+                   choices=(None, "reference", "extra333", "narrow96",
+                            "half", "half-extra333"),
+                   help="RPN trunk variant (tools/probe.RPN_VARIANTS)")
+    p.add_argument("--record", default=None,
+                   help="append the final eval + settings as one JSON "
+                        "line to this file (protocol artifact)")
+    p.add_argument("--eval-batch", type=int, default=4)
     args = p.parse_args()
     enable_persistent_cache()
     run(args.steps, args.pool, args.eval_every, args.loss, args.lr,
         args.batch_size, ap_floor=args.ap_floor, world=args.world,
-        classes=args.classes)
+        classes=args.classes, with_images=args.with_images,
+        image_min_side=args.image_min_side, rpn=args.rpn,
+        record=args.record)
     return 0
 
 

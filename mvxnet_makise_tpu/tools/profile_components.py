@@ -132,6 +132,28 @@ def main(argv=None):
     bench("image_head_total", jax.jit(
         lambda: head.apply(hp, bimg, rc, kept, nv)[0]))
 
+    # sub-stages of the head: gather alone, fusion MLP alone (the
+    # ledger's worst-intensity row — VERDICT r4 ask #5).  The fusion is
+    # profiled in both statistics formulations (models/blocks.py
+    # DenseReluNormVirtual vs ...Full).
+    from mvxnet_makise_tpu.models.image_head import (PointImageFusion,
+                                                     gather_image_size)
+    from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn_batch
+
+    pyr = jax.block_until_ready(jax.jit(
+        lambda: tuple(ResNet50FPN().apply(
+            rp, jax.vmap(detection_transform)(bimg))))())
+    gsize = gather_image_size(cfg.image_size, cfg.image_min_side)
+    gather_fn = jax.jit(
+        lambda: bilinear_gather_fpn_batch(pyr, rc, kept, gsize))
+    bench("fpn_gather_raw4", gather_fn)
+    g = jax.block_until_ready(gather_fn())
+    fp = {"params": params["params"]["head"]["fusion"]}
+    for fstats in ("masked", "full"):
+        bench(f"fusion_mlp_{fstats}", jax.jit(
+            lambda fstats=fstats: PointImageFusion(cfg.eps, fstats).apply(
+                fp, g, kept, nv)[0]))
+
     # LiDAR branch in the flagship dataflow (image features zeroed)
     if args.fusion_mode == "pm":
         from mvxnet_makise_tpu.models.voxelnet_pm import (

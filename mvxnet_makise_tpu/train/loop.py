@@ -128,7 +128,8 @@ def build_model_and_state(cfg: Config, with_images: bool,
             kw.update(swapped_bilerp=cfg.compat_swapped_bilerp,
                       remat=cfg.remat)
         if cfg.fusion_mode in ("pm", "point"):
-            kw.update(gather_backend=cfg.gather_backend)
+            kw.update(gather_backend=cfg.gather_backend,
+                      fusion_stats=cfg.fusion_stats)
         if cfg.fusion_mode == "pm":
             kw.update(samples_per_voxel=cfg.samples_per_voxel,
                       scatter_backend=cfg.scatter_backend,

@@ -42,3 +42,29 @@ def test_heldout_ap_nonzero():
     # modest floor: the recipe must detect SOMETHING it never trained on
     assert ap50 > 0.0015, (ap50, recall50)
     assert recall50 > 0.03, (ap50, recall50)
+
+
+@pytest.mark.weekly
+@pytest.mark.slow
+@pytest.mark.skipif("RUN_WEEKLY" not in __import__("os").environ,
+                    reason="full-protocol run: set RUN_WEEKLY=1 "
+                           "(hours on CPU, minutes on TPU)")
+def test_full_protocol_ap_floor():
+    """The FULL protocol at pool-128 scale (the run behind the 0.208
+    headline in docs/STATUS.md), with a floor a half-broken recipe
+    fails (VERDICT r4 ask #6).  Appends its result to GEN_PROTOCOL.jsonl
+    at the repo root — the self-reproducing protocol artifact.  ~3 h on
+    a 1-core CPU box; minutes on a TPU (run there when available)."""
+    import os
+
+    record = os.path.join(os.path.dirname(__file__), "..",
+                          "GEN_PROTOCOL.jsonl")
+    last = run(steps=3500, pool_size=128, eval_every=500,
+               loss_mode="reference", lr=1e-3, batch_size=4,
+               world=32, n_val=32, log_every=500,
+               record=os.path.abspath(record))
+    assert last, "no eval ran"
+    # the round-3/5 measured trajectory passes 0.1 by step ~2500 and
+    # reaches ~0.2 at 3500; 0.1 is the half-broken-recipe discriminator
+    assert last[0.5]["ap"] >= 0.1, last
+    assert last[0.5]["recall"] >= 0.3, last

@@ -142,3 +142,30 @@ def test_voxel_fusion_variant(rng):
     grads = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree.leaves(grads))
+
+
+def test_fusion_full_stats_matches_masked(rng):
+    """DenseReluNormVirtualFull's plain-reduction statistics must equal
+    the masked formulation under the stack invariant (invalid rows are
+    exact zeros at input, like the virtual row)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvxnet_makise_tpu.models.image_head import PointImageFusion
+
+    B, P, C = 2, 64, 768
+    mask = rng.random((B, P)) < 0.7
+    x = rng.standard_normal((B, P, C)).astype(np.float32)
+    x = jnp.asarray(np.where(mask[..., None], x, 0.0))
+    n_virtual = jnp.asarray(37.0)
+
+    ref = PointImageFusion(1e-6, "masked")
+    params = ref.init(jax.random.PRNGKey(0), x, jnp.asarray(mask),
+                      n_virtual)
+    y0, z0 = ref.apply(params, x, jnp.asarray(mask), n_virtual)
+    y1, z1 = PointImageFusion(1e-6, "full").apply(
+        params, x, jnp.asarray(mask), n_virtual)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1),
+                               rtol=2e-4, atol=2e-4)
