@@ -200,7 +200,7 @@ class PointImageHead(nn.Module):
     image_size: Tuple[int, int] = (370, 1224)
     eps: float = 1e-6
     swapped_bilerp: bool = False
-    # "auto" | "raw4" | "xla" | "xla_fused" | "pallas"
+    # "auto" | "raw4" | "raw4f" | "xla" | "xla_fused" | "pallas"
     gather_backend: str = "auto"
     # transform min-side (reference torchvision default 800; <= 0 =
     # native scale).  The gather maps original-image pixels to feature
@@ -265,13 +265,14 @@ class PointImageHead(nn.Module):
         # pre-gather, exact by linearity of bilerp — was measured at
         # 95.6 vs 53.3 ms head time and removed in round 4; see
         # DESIGN.md's winner/loser table for the record.)
-        if backend == "raw4":
+        if backend in ("raw4", "raw4f"):
             from mvxnet_makise_tpu.ops.gather import (
                 bilinear_gather_fpn_batch)
 
             gathered = bilinear_gather_fpn_batch(
                 tuple(pyramid), points_rc, point_mask, gsize,
-                eps=self.eps, swapped_weights=self.swapped_bilerp)
+                eps=self.eps, swapped_weights=self.swapped_bilerp,
+                fuse_coarse=(backend == "raw4f"))
             return PointImageFusion(self.eps, fstats, name="fusion")(
                 gathered, point_mask, n_virtual)
 

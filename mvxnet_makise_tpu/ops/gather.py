@@ -190,13 +190,26 @@ def bilinear_gather_fpn(features: Sequence[jnp.ndarray],
     return gathered.reshape(lead + (gathered.shape[-1],))
 
 
+def _patch_table_batch(feat: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, 4C) 2x2-patch table (edge-clamped),
+    batched twin of :func:`_patch_table`."""
+    down = jnp.concatenate([feat[:, 1:], feat[:, -1:]], axis=1)
+
+    def right(x):
+        return jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+
+    return jnp.concatenate([feat, down, right(feat), right(down)],
+                           axis=-1)
+
+
 def bilinear_gather_fpn_batch(features: Sequence[jnp.ndarray],
                               points_rc: jnp.ndarray,
                               valid: jnp.ndarray,
                               image_size: Sequence[int],
                               *,
                               eps: float = 1e-6,
-                              swapped_weights: bool = False
+                              swapped_weights: bool = False,
+                              fuse_coarse: bool = False
                               ) -> jnp.ndarray:
     """Batched FPN gather: per-image 4-tap row gathers, NO patch tables.
 
@@ -214,6 +227,18 @@ def bilinear_gather_fpn_batch(features: Sequence[jnp.ndarray],
     Exact for both weight conventions (r1/c1 use explicit min-clamping,
     no floor-identity argument needed).  Reference semantics:
     featureMaping, /root/reference/modules/imhead/Pipe.py:23-82.
+
+    ``fuse_coarse=True`` ("raw4f"): the coarse levels (1..L-1) are
+    served by ONE per-image gather from a combined upsampled patch
+    table at the level-1 grid, instead of 4 tap gathers per level —
+    with 3 levels this cuts per-image row issues from 12 to 6.  The
+    TPU gather engine is row-issue-bound here (12.4 ms for 0.2 GFLOP
+    measured), so fewer/wider rows win; the coarse tables are small
+    (~2.2k rows) and their patch build is ~9 MB/image of VPU shifts.
+    Exactness rests on the floor identity ``floor(x/m - eps) ==
+    floor(floor(x - eps)/m)`` (see bilinear_gather_fpn's fused path);
+    it requires textbook weights and exactly-halving coarse levels,
+    else it silently falls back to the per-level form.
 
     Args:
       features: list of (B, Hf, Wf, C) feature maps.
@@ -234,13 +259,28 @@ def bilinear_gather_fpn_batch(features: Sequence[jnp.ndarray],
         return (f00 * (1 - fr) * (1 - fc) + f10 * fr * (1 - fc)
                 + f01 * (1 - fr) * fc + f11 * fr * fc)
 
-    outs = []
+    fuse_from = None
+    if fuse_coarse and not swapped_weights and len(features) >= 3:
+        shapes = [f.shape[1:3] for f in features]
+        if all(_halves_exactly(shapes[i], shapes[i + 1])
+               for i in range(1, len(shapes) - 1)):
+            fuse_from = 1
+
+    # per-level fractional cells (shared by both paths)
+    cells = []
     for feat in features:
         _, Hf, Wf, C = feat.shape
         r = jnp.clip(points_rc[..., 0] / (im_h / Hf) - eps, 0.0, Hf - 1.0)
         c = jnp.clip(points_rc[..., 1] / (im_w / Wf) - eps, 0.0, Wf - 1.0)
-        r0 = jnp.floor(r).astype(jnp.int32)
-        c0 = jnp.floor(c).astype(jnp.int32)
+        cells.append((r, c, jnp.floor(r).astype(jnp.int32),
+                      jnp.floor(c).astype(jnp.int32)))
+
+    outs = [None] * len(features)
+    for li, feat in enumerate(features):
+        if fuse_from is not None and li >= fuse_from:
+            continue
+        _, Hf, Wf, C = feat.shape
+        r, c, r0, c0 = cells[li]
         fr = (r - r0).astype(feat.dtype)[..., None]
         fc = (c - c0).astype(feat.dtype)[..., None]
         r1 = jnp.minimum(r0 + 1, Hf - 1)
@@ -249,6 +289,40 @@ def bilinear_gather_fpn_batch(features: Sequence[jnp.ndarray],
         taps = [jnp.stack([tab[b][idx[b]] for b in range(B)])
                 for idx in (r0 * Wf + c0, r1 * Wf + c0,
                             r0 * Wf + c1, r1 * Wf + c1)]
-        outs.append(bilerp(*taps, fr, fc))
+        outs[li] = bilerp(*taps, fr, fc)
+
+    if fuse_from is not None:
+        _, H1, W1, _ = features[fuse_from].shape
+        blocks = []
+        for l in range(fuse_from, len(features)):
+            pt = _patch_table_batch(features[l])
+            scale = 2 ** (l - fuse_from)
+            if scale > 1:
+                pt = jnp.repeat(jnp.repeat(pt, scale, axis=1),
+                                scale, axis=2)
+            blocks.append(pt)
+        combined = jnp.concatenate(blocks, axis=-1)
+        width = combined.shape[-1]
+        combined = combined.reshape(B, H1 * W1, width)
+        r0b, c0b = cells[fuse_from][2], cells[fuse_from][3]
+        idx = r0b * W1 + c0b
+        rows = jnp.stack([combined[b][idx[b]] for b in range(B)])
+        off = 0
+        for l in range(fuse_from, len(features)):
+            C = features[l].shape[-1]
+            f00 = rows[..., off + 0 * C:off + 1 * C]
+            f10 = rows[..., off + 1 * C:off + 2 * C]
+            f01 = rows[..., off + 2 * C:off + 3 * C]
+            f11 = rows[..., off + 3 * C:off + 4 * C]
+            r, c = cells[l][0], cells[l][1]
+            scale = 2 ** (l - fuse_from)
+            r0f = r0b // scale
+            c0f = c0b // scale
+            dt = features[l].dtype
+            fr = (r - r0f.astype(r.dtype)).astype(dt)[..., None]
+            fc = (c - c0f.astype(c.dtype)).astype(dt)[..., None]
+            outs[l] = bilerp(f00, f10, f01, f11, fr, fc)
+            off += 4 * C
+
     g = jnp.concatenate(outs, axis=-1)
     return jnp.where(valid[..., None], g, 0)

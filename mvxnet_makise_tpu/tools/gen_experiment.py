@@ -149,6 +149,7 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
     t0 = time.time()
     hist: list = []
     last: dict = {}
+    best: dict = {}
     for it in range(steps):
         idx = rng.integers(0, pool_size, B)
         key, sub = jax.random.split(key)
@@ -177,6 +178,12 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
                     print(f"  step {it+1} VAL {cname} AP@{thr}: "
                           f"ap={rc['ap']:.4f} recall={rc['recall']:.3f}",
                           flush=True)
+            if not best or last[0.5]["ap"] >= best.get("ap50", -1.0):
+                best = {"ap50": last[0.5]["ap"],
+                        "recall50": last[0.5]["recall"],
+                        "ap70": last[0.7]["ap"], "step": it + 1,
+                        "per_class": last.get("per_class", {}).get(
+                            0.5, {})}
             if ap_floor is not None and last[0.5]["ap"] >= ap_floor:
                 print(f"ap floor {ap_floor} reached, stopping", flush=True)
                 break
@@ -195,7 +202,9 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
                 "ap50": last[0.5]["ap"], "recall50": last[0.5]["recall"],
                 "ap70": last[0.7]["ap"],
                 "per_class": last.get("per_class", {}).get(0.5, {}),
+                "best": best,
             }) + "\n")
+    last["best"] = best
     return last
 
 

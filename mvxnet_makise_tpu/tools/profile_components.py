@@ -67,27 +67,32 @@ def main(argv=None):
     def sync(x):
         return float(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
 
-    def _flops(fn) -> float:
+    def _flops(fn, *a) -> float:
         """XLA-counted FLOPs of the jitted stage (issued, not useful)."""
         try:
-            ca = fn.lower().compile().cost_analysis()
+            ca = fn.lower(*a).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             return float(ca.get("flops", 0.0))
         except Exception:
             return 0.0
 
-    def bench(name, fn):
+    def bench(name, fn, *a):
+        # pass big arrays as explicit jit ARGUMENTS, never closures — a
+        # closed-over concrete array becomes an HLO constant and XLA
+        # will happily constant-fold a whole gather at compile time
+        # (measured: 314 s compile for the closure form of the raw4
+        # gather stage)
         t0 = time.perf_counter()
-        out = fn()
+        out = fn(*a)
         sync(out)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = fn()
+            out = fn(*a)
         sync(out)
         dt = (time.perf_counter() - t0) / args.iters
-        gf = _flops(fn) / 1e9
+        gf = _flops(fn, *a) / 1e9
         rec = {"stage": name, "ms_per_batch": round(dt * 1e3, 2),
                "ms_per_frame": round(dt * 1e3 / B, 3),
                "compile_s": round(compile_s, 1)}
@@ -141,18 +146,22 @@ def main(argv=None):
     from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn_batch
 
     pyr = jax.block_until_ready(jax.jit(
-        lambda: tuple(ResNet50FPN().apply(
-            rp, jax.vmap(detection_transform)(bimg))))())
+        lambda im: tuple(ResNet50FPN().apply(
+            rp, jax.vmap(detection_transform)(im))))(bimg))
     gsize = gather_image_size(cfg.image_size, cfg.image_min_side)
-    gather_fn = jax.jit(
-        lambda: bilinear_gather_fpn_batch(pyr, rc, kept, gsize))
-    bench("fpn_gather_raw4", gather_fn)
-    g = jax.block_until_ready(gather_fn())
+    for fuse in (False, True):
+        gather_fn = jax.jit(
+            lambda pyr_, rc_, ok_, fuse=fuse: bilinear_gather_fpn_batch(
+                pyr_, rc_, ok_, gsize, fuse_coarse=fuse))
+        bench("fpn_gather_raw4" + ("_fused" if fuse else ""),
+              gather_fn, pyr, rc, kept)
+    g = jax.block_until_ready(gather_fn(pyr, rc, kept))
     fp = {"params": params["params"]["head"]["fusion"]}
     for fstats in ("masked", "full"):
         bench(f"fusion_mlp_{fstats}", jax.jit(
-            lambda fstats=fstats: PointImageFusion(cfg.eps, fstats).apply(
-                fp, g, kept, nv)[0]))
+            lambda g_, ok_, nv_, fstats=fstats: PointImageFusion(
+                cfg.eps, fstats).apply(fp, g_, ok_, nv_)[0]),
+              g, kept, nv)
 
     # LiDAR branch in the flagship dataflow (image features zeroed)
     if args.fusion_mode == "pm":

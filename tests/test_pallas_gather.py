@@ -138,3 +138,33 @@ def test_point_image_head_backend_equivalence():
     op, zp = hp.apply(params, images, rc, kept, n_virtual)
     np.testing.assert_allclose(np.asarray(ox), np.asarray(op), atol=1e-4)
     np.testing.assert_allclose(np.asarray(zx), np.asarray(zp), atol=1e-5)
+
+
+def test_raw4_fused_coarse_matches_per_level(rng):
+    """raw4f (one combined wide-row gather for the coarse levels) must
+    match the per-level raw4 gather (floor-identity exactness; see
+    ops/gather.bilinear_gather_fpn_batch)."""
+    import jax.numpy as jnp
+
+    from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn_batch
+
+    B, P = 3, 257
+    shapes = [(12, 16, 8), (6, 8, 8), (3, 4, 8)]
+    pyr = tuple(jnp.asarray(rng.standard_normal((B, *s)), jnp.float32)
+                for s in shapes)
+    im = (48.0, 64.0)
+    pts = jnp.asarray(np.stack([
+        rng.uniform(0, im[0] - 1e-3, (B, P)),
+        rng.uniform(0, im[1] - 1e-3, (B, P))], axis=-1), jnp.float32)
+    ok = jnp.asarray(rng.random((B, P)) < 0.8)
+    a = bilinear_gather_fpn_batch(pyr, pts, ok, im)
+    b = bilinear_gather_fpn_batch(pyr, pts, ok, im, fuse_coarse=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    # swapped weights must silently fall back to per-level (exactness
+    # argument doesn't hold there) and still agree with itself
+    c = bilinear_gather_fpn_batch(pyr, pts, ok, im, swapped_weights=True,
+                                  fuse_coarse=True)
+    d = bilinear_gather_fpn_batch(pyr, pts, ok, im, swapped_weights=True)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
