@@ -325,6 +325,10 @@ def main():
         "host_feed_ms_per_batch": round(host_dt * 1e3, 2),
         "serve_loop_ms_per_batch": round(dt / args.iters * 1e3, 2),
         "pipelined_serve_loop": True,
+        "image_min_side": cfg.image_min_side,
+        "gather_backend": cfg.gather_backend,
+        "fusion_stats": cfg.fusion_stats,
+        "rpn": args.rpn or "reference",
         "upload_excluded": True,
     }))
 

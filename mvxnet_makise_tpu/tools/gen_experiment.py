@@ -184,28 +184,42 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
                         "ap70": last[0.7]["ap"], "step": it + 1,
                         "per_class": last.get("per_class", {}).get(
                             0.5, {})}
+            if record:
+                # one line PER EVAL (final=True on the last): a run
+                # reaped by an outer timeout or a link stall still
+                # leaves its trajectory in the artifact
+                _append_record(record, it + 1 == steps or (
+                    ap_floor is not None and last[0.5]["ap"] >= ap_floor),
+                    it, pool_size, batch_size, world, classes, loss_mode,
+                    with_images, image_min_side, rpn, t0, last, best)
             if ap_floor is not None and last[0.5]["ap"] >= ap_floor:
                 print(f"ap floor {ap_floor} reached, stopping", flush=True)
                 break
-    if record and last:
-        import json
-
-        with open(record, "a") as f:
-            f.write(json.dumps({
-                "protocol": "gen_experiment",
-                "steps": it + 1, "pool": pool_size, "batch": batch_size,
-                "world": world, "classes": classes, "loss": loss_mode,
-                "with_images": with_images,
-                "image_min_side": image_min_side, "rpn": rpn,
-                "elapsed_s": round(time.time() - t0, 1),
-                "backend": jax.default_backend(),
-                "ap50": last[0.5]["ap"], "recall50": last[0.5]["recall"],
-                "ap70": last[0.7]["ap"],
-                "per_class": last.get("per_class", {}).get(0.5, {}),
-                "best": best,
-            }) + "\n")
     last["best"] = best
     return last
+
+
+def _append_record(record, final, it, pool_size, batch_size, world,
+                   classes, loss_mode, with_images, image_min_side, rpn,
+                   t0, last, best):
+    import json
+
+    import jax
+
+    with open(record, "a") as f:
+        f.write(json.dumps({
+            "protocol": "gen_experiment", "final": bool(final),
+            "steps": it + 1, "pool": pool_size, "batch": batch_size,
+            "world": world, "classes": classes, "loss": loss_mode,
+            "with_images": with_images,
+            "image_min_side": image_min_side, "rpn": rpn,
+            "elapsed_s": round(time.time() - t0, 1),
+            "backend": jax.default_backend(),
+            "ap50": last[0.5]["ap"], "recall50": last[0.5]["recall"],
+            "ap70": last[0.7]["ap"],
+            "per_class": last.get("per_class", {}).get(0.5, {}),
+            "best": best,
+        }) + "\n")
 
 
 def main() -> int:
