@@ -73,6 +73,11 @@ def main():
                     choices=["", "masked", "full"],
                     help="override Config.fusion_stats (fusion-MLP "
                          "statistics formulation A/B)")
+    ap.add_argument("--gather-backend", default="",
+                    choices=["", "raw4", "raw4f", "xla", "xla_fused",
+                             "pallas"],
+                    help="override Config.gather_backend (FPN gather "
+                         "formulation A/B)")
     ap.add_argument("--rpn", default="",
                     help="override the RPN trunk with a named variant "
                          "from tools/probe.RPN_VARIANTS (cheaper-trunk "
@@ -134,6 +139,8 @@ def main():
                     if args.image_min_side >= 0 else {}),
                  **({"fusion_stats": args.fusion_stats}
                     if args.fusion_stats else {}),
+                 **({"gather_backend": args.gather_backend}
+                    if args.gather_backend else {}),
                  **rpn_kw)
     rng = np.random.default_rng(0)
 

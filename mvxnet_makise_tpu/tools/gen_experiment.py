@@ -150,6 +150,7 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
     hist: list = []
     last: dict = {}
     best: dict = {}
+    per_class_max: dict = {}
     for it in range(steps):
         idx = rng.integers(0, pool_size, B)
         key, sub = jax.random.split(key)
@@ -178,6 +179,11 @@ def run(steps: int, pool_size: int, eval_every: int, loss_mode: str,
                     print(f"  step {it+1} VAL {cname} AP@{thr}: "
                           f"ap={rc['ap']:.4f} recall={rc['recall']:.3f}",
                           flush=True)
+            for cname, r in last.get("per_class", {}).get(
+                    0.5, {}).items():
+                if r["ap"] > per_class_max.get(cname, {}).get("ap", -1.0):
+                    per_class_max[cname] = dict(r, step=it + 1)
+            best["per_class_max"] = per_class_max
             if not best or last[0.5]["ap"] >= best.get("ap50", -1.0):
                 best = {"ap50": last[0.5]["ap"],
                         "recall50": last[0.5]["recall"],

@@ -68,3 +68,22 @@ def test_full_protocol_ap_floor():
     # reaches ~0.2 at 3500; 0.1 is the half-broken-recipe discriminator
     assert last[0.5]["ap"] >= 0.1, last
     assert last[0.5]["recall"] >= 0.3, last
+
+
+@pytest.mark.weekly
+@pytest.mark.slow
+@pytest.mark.skipif("RUN_WEEKLY" not in __import__("os").environ,
+                    reason="full-protocol run: set RUN_WEEKLY=1")
+def test_multiclass_protocol_per_class_floor():
+    """Multi-class floor (VERDICT r4 ask #2): focal loss (the shipped
+    extension — the reference normalization converges ~2-3x slower on
+    3-class synthetic data, divergence documented in STATUS.md) must
+    reach nonzero held-out AP@0.5 for EVERY class at some eval.  The
+    round-5 chip run measured Car 0.079 / Ped 0.010 / Cyc 0.008 bests
+    within 3000 steps."""
+    last = run(steps=6000, pool_size=128, eval_every=1000,
+               loss_mode="focal", lr=1e-3, batch_size=4,
+               world=32, n_val=32, log_every=1000, classes=3)
+    pcm = last["best"]["per_class_max"]
+    for cname in ("Car", "Pedestrian", "Cyclist"):
+        assert pcm.get(cname, {}).get("ap", 0.0) > 0.0, pcm

@@ -168,3 +168,34 @@ def test_raw4_fused_coarse_matches_per_level(rng):
                                   fuse_coarse=True)
     d = bilinear_gather_fpn_batch(pyr, pts, ok, im, swapped_weights=True)
     np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_raw4_fused_coarse_gradients_match(rng):
+    """raw4f must also agree with raw4 under differentiation (its
+    backward runs repeat-reduce + scatter-add through the combined
+    table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvxnet_makise_tpu.ops.gather import bilinear_gather_fpn_batch
+
+    B, P = 2, 64
+    shapes = [(8, 12, 4), (4, 6, 4), (2, 3, 4)]
+    pyr = tuple(jnp.asarray(rng.standard_normal((B, *s)), jnp.float32)
+                for s in shapes)
+    im = (32.0, 48.0)
+    pts = jnp.asarray(np.stack([
+        rng.uniform(0, im[0] - 1e-3, (B, P)),
+        rng.uniform(0, im[1] - 1e-3, (B, P))], axis=-1), jnp.float32)
+    ok = jnp.asarray(rng.random((B, P)) < 0.8)
+    w = jnp.asarray(rng.standard_normal((B, P, 12)), jnp.float32)
+
+    def loss(pyr_, fuse):
+        g = bilinear_gather_fpn_batch(pyr_, pts, ok, im, fuse_coarse=fuse)
+        return jnp.sum(g * w)
+
+    g0 = jax.grad(lambda p: loss(p, False))(pyr)
+    g1 = jax.grad(lambda p: loss(p, True))(pyr)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
