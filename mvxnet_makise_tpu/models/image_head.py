@@ -219,18 +219,24 @@ class PointImageHead(nn.Module):
         Returns ((B, P, 16), (16,) empty-slot feature)."""
         import jax
 
-        # measured (v5e, batch 8): raw4 20.2 ms vs xla (vmapped patch
-        # tables) 30.0 for the gather stage (round-4 probe); pallas
-        # 88 vs xla 63 ms for the whole head — the banded kernel's
-        # per-step MXU selector matmuls cost more than XLA's row-gather
-        # engine at these shapes.  "xla_fused" (round 3) merges the two
-        # coarse levels into one wide-row gather (ops/gather.py
-        # fused_coarse).
+        # measured (v5e, batch 8): raw4 beats xla (vmapped patch
+        # tables) 20.2 vs 30.0 ms for the gather stage (round-4 probe);
+        # pallas 88 vs xla 63 ms for the whole head — the banded
+        # kernel's per-step MXU selector matmuls cost more than XLA's
+        # row-gather engine at these shapes.  Round 5: raw4f (coarse
+        # levels served by ONE wide-row gather) loses ISOLATED (18.1 vs
+        # 16.7 ms — table-build cost) but wins IN-MODEL (e2e raw 87.0
+        # vs 81.5 f/s at min_side 400; 72.0 vs 69.6 at 800): the wide
+        # row overlaps the surrounding compute better than 8 narrow
+        # issues — the inverse of the pallas-scatter lesson, and why
+        # auto resolves by END-TO-END measurement, not stage isolation.
         backend = self.gather_backend
         if backend == "auto":
-            backend = "raw4"
+            backend = "raw4f"
         fstats = self.fusion_stats
         if fstats == "auto":
+            # isolated dead-neutral (5.39 vs 5.41 ms — XLA already
+            # fuses the masked products); keep the r1-r4 formulation
             fstats = "masked"
         # content-correct pixel->cell mapping at non-default min_side
         # (reference convention preserved at 800; see gather_image_size)
