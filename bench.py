@@ -82,10 +82,15 @@ def main():
                              "pallas"],
                     help="override Config.gather_backend (FPN gather "
                          "formulation A/B)")
-    ap.add_argument("--rpn", default="",
-                    help="override the RPN trunk with a named variant "
-                         "from tools/probe.RPN_VARIANTS (cheaper-trunk "
-                         "A/B; non-default forfeits checkpoint parity)")
+    ap.add_argument("--rpn", default="half",
+                    help="RPN trunk variant (tools/probe.RPN_VARIANTS) "
+                         "for the BENCHMARKED configuration.  Default "
+                         "'half' (64,64,128)/128: 1.46x faster RPN "
+                         "stage AND the best held-out protocol AP of "
+                         "any configuration (0.577 vs the full trunk's "
+                         "0.341, GEN_PROTOCOL.jsonl) — it forfeits "
+                         "reference-RPN-checkpoint interchange, so "
+                         "pass 'reference' for the parity trunk")
     ap.add_argument("--max-seconds", type=int, default=1500,
                     help="hard cap per supervised attempt; stages also "
                          "carry individual watchdog budgets")

@@ -36,6 +36,11 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--lidar-only", action="store_true")
     p.add_argument("--score-threshold", type=float, default=0.3)
+    p.add_argument("--image-min-side", type=float, default=None,
+                   help="serving-economy transform resolution (e.g. "
+                        "400 = the benchmarked configuration; default: "
+                        "config value, reference 800).  Checkpoints "
+                        "interchange across settings — docs/DESIGN.md")
     args = p.parse_args(argv)
 
     from mvxnet_makise_tpu.config import load_config
@@ -48,6 +53,8 @@ def main(argv=None):
     from mvxnet_makise_tpu.serve import Detector
 
     cfg = load_config(args.config, data_root=args.dataroot)
+    if args.image_min_side is not None:
+        cfg = cfg.replace(image_min_side=args.image_min_side)
     frames = load_dataset(cfg.data_root, args.split, cfg,
                           load_images=not args.lidar_only,
                           limit=args.limit)
